@@ -1,0 +1,170 @@
+"""ntHash2 on TPU: vectorized JAX implementation over uint32-pair u64 lanes.
+
+Two computation styles, both bit-identical to ntedit_tpu.core.nthash_ref
+(property-tested):
+
+1. ``window_hashes(seq, k)`` — the *dense pass*: canonical multi-hashes of
+   every k-mer window of a sequence tile, computed with a prefix-XOR scan
+   instead of a sequential roll:
+
+       fh(h) = srol^{h+k-1}( PF[h+k] ^ PF[h] ),  PF prefix-XOR of
+               srol^{-t}(seed(s_t)),
+       rh(h) = srol^{-h}( PR[h+k] ^ PR[h] ),     PR prefix-XOR of
+               srol^{t}(cseed(s_t)).
+
+   This replaces the reference's per-base O(1) roll (a loop-carried
+   dependency, /root/reference/ntedit.cpp:1216-1247) with an
+   O(log L)-depth ``associative_scan`` that XLA vectorizes over the VPU —
+   the TPU-native formulation of rolling hashing.
+
+2. ``windows_direct(buf, k, offsets)`` — the *repair pass* primitive:
+   hashes of explicit small windows of an edit buffer, computed by direct
+   XOR of per-position rotated seed table lookups.  Used inside the batched
+   edit state machine where the sequence mutates between probes.
+
+Multi-hash extension (``extend``) follows ntHash's published NTM64 mixing;
+see nthash_ref.extend_hashes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntedit_tpu.core import nthash_ref as ref
+from ntedit_tpu.utils import u64
+
+SROL_PERIOD = ref.SROL_PERIOD
+CP_OFF = ref.CP_OFF
+
+
+def _tab_pair(tab_u64: np.ndarray):
+    return (
+        jnp.asarray((tab_u64 >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((tab_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+
+
+# [256] forward seed table and complement-aliased table (SEED_TAB[c & 7]).
+SEED_TAB = _tab_pair(ref.SEED_TAB)
+CSEED_TAB = _tab_pair(ref.SEED_TAB[np.arange(256) & CP_OFF])
+
+_MULTISEED = ref.MULTISEED
+_MULTISHIFT = int(ref.MULTISHIFT)
+
+
+def seed_of(seq):
+    """ASCII bytes [..] -> forward seeds as u64 pair."""
+    idx = jnp.asarray(seq, jnp.int32)
+    return SEED_TAB[0][idx], SEED_TAB[1][idx]
+
+
+def cseed_of(seq):
+    idx = jnp.asarray(seq, jnp.int32)
+    return CSEED_TAB[0][idx], CSEED_TAB[1][idx]
+
+
+def canonical(fh, rh):
+    return u64.min_(fh, rh)
+
+
+def extend(base, k: int, m: int):
+    """[...]-shaped canonical hash pair -> list of m hash pairs.
+
+    h[0] = base; h[i] = mix(base * (i ^ k*MULTISEED)) per ntHash NTM64.
+    """
+    out = [base]
+    for i in range(1, m):
+        mult = (i ^ (k * int(_MULTISEED))) & 0xFFFFFFFFFFFFFFFF
+        mult_pair = (
+            jnp.full_like(base[0], np.uint32(mult >> 32)),
+            jnp.full_like(base[1], np.uint32(mult & 0xFFFFFFFF)),
+        )
+        t = u64.mul_lo(base, mult_pair)
+        t = u64.xor(t, u64.shr(t, _MULTISHIFT))
+        out.append(t)
+    return out
+
+
+@partial(jax.jit, static_argnames=("k",))
+def window_hashes(seq, k: int):
+    """Forward/reverse hashes of every window of ``seq`` (ASCII uint8 [L]).
+
+    Returns (fh, rh) u64 pairs of shape [L - k + 1] (caller guarantees
+    L >= k; pad upstream).  Windows containing non-ACGT bases get the
+    deterministic garbage the reference also computes for them (seed 0
+    terms) — validity masking happens at the engine layer.
+    """
+    L = seq.shape[0]
+    n = L - k + 1
+    t = jnp.arange(L, dtype=jnp.int32)
+    fterms = u64.srol_var(seed_of(seq), (-t) % SROL_PERIOD)
+    rterms = u64.srol_var(cseed_of(seq), t % SROL_PERIOD)
+
+    def _xor(a, b):
+        return (a[0] ^ b[0], a[1] ^ b[1])
+
+    pf = jax.lax.associative_scan(_xor, fterms)
+    pr = jax.lax.associative_scan(_xor, rterms)
+    # windowed XOR: PX[h+k-1] ^ PX[h-1]; realize PX[-1] = 0 by shifting.
+    zero = (jnp.zeros((1,), jnp.uint32), jnp.zeros((1,), jnp.uint32))
+
+    def _cat(p):
+        return (
+            jnp.concatenate([zero[0], p[0]]),
+            jnp.concatenate([zero[1], p[1]]),
+        )
+
+    pf = _cat(pf)  # pf[j] = XOR of terms t < j
+    pr = _cat(pr)
+    h = jnp.arange(n, dtype=jnp.int32)
+
+    def _win(p):
+        return (p[0][h + k] ^ p[0][h], p[1][h + k] ^ p[1][h])
+
+    fh = u64.srol_var(_win(pf), (h + k - 1) % SROL_PERIOD)
+    rh = u64.srol_var(_win(pr), (-h) % SROL_PERIOD)
+    return fh, rh
+
+
+def rotated_seed_tables(k: int):
+    """Host-precomputed [k, 256] tables for direct window hashing:
+
+    FROT[i][c] = srol^{k-1-i}(seed(c));  RROT[i][c] = srol^{i}(cseed(c)).
+    """
+    frot = np.empty((k, 256), dtype=np.uint64)
+    rrot = np.empty((k, 256), dtype=np.uint64)
+    cs = ref.SEED_TAB[np.arange(256) & CP_OFF]
+    for i in range(k):
+        frot[i] = ref.srol_vec(ref.SEED_TAB, np.full(256, (k - 1 - i) % SROL_PERIOD))
+        rrot[i] = ref.srol_vec(cs, np.full(256, i % SROL_PERIOD))
+    return _tab_pair(frot.reshape(-1)), _tab_pair(rrot.reshape(-1)), k
+
+
+def windows_direct(buf, k: int, starts, frot=None, rrot=None):
+    """Hashes of explicit windows: buf ASCII uint8 [...,L], starts int32 [...]
+    (window = buf[start : start+k]).  Returns (fh, rh) pairs shaped like
+    ``starts``.  Gathers beyond the buffer are the caller's responsibility
+    (pad the buffer with sentinel bytes).
+    """
+    if frot is None:
+        frot, rrot, _ = rotated_seed_tables(k)
+    idx = starts[..., None] + jnp.arange(k, dtype=jnp.int32)  # [..., k]
+    chars = jnp.take(buf, idx, axis=-1) if buf.ndim == 1 else jnp.take_along_axis(
+        jnp.broadcast_to(buf, idx.shape[:-1] + buf.shape[-1:]), idx, axis=-1
+    )
+    pos = jnp.arange(k, dtype=jnp.int32) * 256
+    flat = chars.astype(jnp.int32) + pos  # [..., k] indices into [k*256]
+    fh = (frot[0][flat], frot[1][flat])
+    rh = (rrot[0][flat], rrot[1][flat])
+
+    def _xor_reduce(p):
+        return (
+            jax.lax.reduce(p[0], np.uint32(0), jax.lax.bitwise_xor, (p[0].ndim - 1,)),
+            jax.lax.reduce(p[1], np.uint32(0), jax.lax.bitwise_xor, (p[1].ndim - 1,)),
+        )
+
+    return _xor_reduce(fh), _xor_reduce(rh)
