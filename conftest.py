@@ -1,9 +1,16 @@
 import os
 
-# Tests run on a virtual 8-device CPU mesh (no multi-chip TPU hardware in
-# this environment); set before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# Tests always run on a virtual 8-device CPU mesh.  The container's
+# sitecustomize registers the 'axon' TPU backend (one real chip behind a
+# tunnel) for every interpreter and forces it via jax config — so a plain
+# JAX_PLATFORMS env var is not enough; override through jax.config after
+# import.  bench.py explicitly targets the TPU.
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,102 @@
+"""Dense flag pass: the TPU-side hot loop.
+
+For every window head of a draft contig this computes, in one fused jit
+program over fixed-size chunks:
+
+* canonical ntHash2 multi-hashes (prefix-scan rolling hash,
+  ntedit_tpu.core.nthash.window_hashes),
+* Bloom-filter presence (and CBF counts) via batched HBM gathers,
+* window validity (all bases accepted — ATGC/IUPAC),
+* the reference's absence gate
+  ``snv || !contains || (counting && count < p)``
+  (/root/reference/ntedit.cpp:1806-1807).
+
+This replaces the reference's per-base rolling scan — its throughput-
+dominant path (one BF probe per clean base; see SURVEY.md §3.3) — with a
+data-parallel pass at ~chunk granularity.  Sites that gate are sparse
+(~0.1% on real drafts) and are repaired by the engine's repair pass; the
+gate bitmap produced here has no false negatives by construction (device
+probes are bit-identical to host probes; tests/test_bloom.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntedit_tpu.core import bloom, nthash as nt
+from ntedit_tpu.engine.config import ACCEPTED
+
+# lookup table: accepted draft bases, case-folded (isAcceptedBase,
+# ntedit.cpp:493-499)
+_ACCEPTED_TAB = np.zeros(256, dtype=np.uint8)
+for _c in ACCEPTED:
+    _ACCEPTED_TAB[_c] = 1
+    _ACCEPTED_TAB[_c + 32] = 1  # lowercase
+ACCEPTED_TAB = jnp.asarray(_ACCEPTED_TAB)
+
+DEFAULT_CHUNK = 1 << 18
+
+
+@partial(jax.jit, static_argnames=("k", "snv", "min_threshold"))
+def flag_chunk(seq, df: bloom.DeviceFilter, k: int, snv: bool, min_threshold: int):
+    """seq: uint8 [C + k - 1] (chunk plus right halo).
+
+    Returns (gate, present, count, valid), all [C]:
+      present — k-mer in filter (CBF: count > 0)
+      count   — CBF count (1/0 for plain BF)
+      valid   — window contains only accepted bases
+      gate    — reference absence gate AND valid
+    """
+    fh, rh = nt.window_hashes(seq, k)
+    hashes = nt.extend(nt.canonical(fh, rh), k, df.hash_num)
+    if df.counting:
+        count = df.count(hashes)
+        present = count > 0
+    else:
+        present = df.contains(hashes)
+        count = jnp.where(present, np.uint8(1), np.uint8(0))
+    acc = ACCEPTED_TAB[seq.astype(jnp.int32)].astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(acc)])
+    n = seq.shape[0] - k + 1
+    h = jnp.arange(n, dtype=jnp.int32)
+    valid = (cs[h + k] - cs[h]) == k
+    gate = jnp.full(n, snv) | ~present
+    if df.counting and min_threshold > 1:
+        gate = gate | (count < np.uint8(min_threshold))
+    return gate & valid, present, count, valid
+
+
+def flag_contig(
+    seq: np.ndarray,
+    df: bloom.DeviceFilter,
+    snv: bool = False,
+    min_threshold: int = 1,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Host orchestration: chunked dense pass over one contig.
+
+    Returns numpy (gate, present, count, valid) of length L - k + 1.
+    """
+    k = df.k
+    L = len(seq)
+    n = L - k + 1
+    if n <= 0:
+        z = np.zeros(0, dtype=bool)
+        return z, z, np.zeros(0, np.uint8), z
+    gates, presents, counts, valids = [], [], [], []
+    # pad the tail so every chunk has identical shape (one compile)
+    pad_total = (-n) % chunk
+    padded = np.concatenate([seq, np.zeros(pad_total, dtype=np.uint8)])
+    for start in range(0, n, chunk):
+        piece = jnp.asarray(padded[start : start + chunk + k - 1])
+        g, p, c, v = flag_chunk(piece, df, k, snv, min_threshold)
+        gates.append(np.asarray(g))
+        presents.append(np.asarray(p))
+        counts.append(np.asarray(c))
+        valids.append(np.asarray(v))
+    cat = lambda xs: np.concatenate(xs)[:n]
+    return cat(gates), cat(presents), cat(counts), cat(valids)

@@ -385,7 +385,9 @@ class Oracle:
 
     # -- edit application --------------------------------------------------
     def _make_edit(self, draft_char, best, st, fh, rh):
-        """makeEdit (ntedit.cpp:1250-1448).  Returns (fh, rh, reseeded)."""
+        """makeEdit (ntedit.cpp:1250-1448).  Returns (fh, rh, edited) where
+        ``edited`` is True whenever the sequence content or structure
+        changed (substitution/insertion/deletion/rollback/soft-mask)."""
         cfg = self.cfg
         cells = self.cells
         t_idx = st[2]
@@ -409,7 +411,7 @@ class Oracle:
                 cell[CHAR] = best["sub_base"]
             fh = nh.change_last_forward(fh, draft_char, best["sub_base"])
             rh = nh.change_last_reverse(rh, cfg.k, draft_char, best["sub_base"])
-            return fh, rh, False
+            return fh, rh, True
         if kind == 2:  # insertion
             prev = self._prev_insertion(t_idx)
             indel = best["indel"]
@@ -444,7 +446,7 @@ class Oracle:
             # t_node_index pointing at it, ntedit.cpp:625-714)
             fh = nh.change_last_forward(fh, draft_char, ord(indel[0]))
             rh = nh.change_last_reverse(rh, cfg.k, draft_char, ord(indel[0]))
-            return fh, rh, False
+            return fh, rh, True
         if kind == 3:  # deletion
             n_del = len(best["indel"])
             del cells[t_idx : t_idx + n_del]
@@ -456,8 +458,9 @@ class Oracle:
                 new_last = 0
             fh = nh.change_last_forward(fh, draft_char, new_last)
             rh = nh.change_last_reverse(rh, cfg.k, draft_char, new_last)
-            return fh, rh, False
+            return fh, rh, True
         # kind == 0: no fix (ntedit.cpp:1409-1443)
+        edited = False
         if cfg.mask:
             cell = cells[t_idx]
             low = draft_char + 32 if 65 <= draft_char <= 90 else draft_char
@@ -467,6 +470,7 @@ class Oracle:
                 cell[CHAR] = low
             fh = nh.change_last_forward(fh, draft_char, low)
             rh = nh.change_last_reverse(rh, cfg.k, draft_char, low)
+            edited = True
         if cfg.snv and best["altsupp1"]:
             self.subs.append(
                 SubRec(
@@ -477,11 +481,25 @@ class Oracle:
                     altbase3=best["altbase3"], altsupp3=best["altsupp3"],
                 )
             )
-        return fh, rh, False
+        return fh, rh, edited
 
     # -- main scan ---------------------------------------------------------
-    def polish_contig(self, header: str, seq: bytes) -> ContigResult:
-        """kmerizeAndCorrect (ntedit.cpp:1747-2151) for one contig."""
+    def polish_contig(
+        self, header: str, seq: bytes, gate_hint: Optional[np.ndarray] = None
+    ) -> ContigResult:
+        """kmerizeAndCorrect (ntedit.cpp:1747-2151) for one contig.
+
+        ``gate_hint``: optional sorted array of window-head coordinates
+        (original draft coordinates) where the absence gate *may* fire —
+        produced by the TPU dense pass (ntedit_tpu.engine.flag).  The scan
+        fast-forwards across stretches with no hinted gate; the hint must
+        have no false negatives for unedited windows (it is exact by
+        construction: device probes are bit-identical to host probes).
+        Live gates are still re-evaluated, so false positives are harmless.
+        After any edit, fast-forwarding is suspended until the scan is 2k
+        past the edit (windows overlapping an edit have live state the
+        precomputed hint cannot know).
+        """
         cfg = self.cfg
         k = cfg.k
         L = len(seq)
@@ -498,10 +516,32 @@ class Oracle:
             fh = nh.base_forward_hash(kmer, k)
             rh = nh.base_reverse_hash(kmer, k)
 
+        hint_i = 0  # monotone pointer into gate_hint
+        dirty_until = 0  # no fast-forward while h_seq < dirty_until
         continue_edit = True
         while continue_edit:
             if st[1] + k - 1 >= L:
                 break
+            if (
+                gate_hint is not None
+                and st[1] >= dirty_until
+                and st[0] < len(self.cells)
+                and self.cells[st[0]][ORIG] == st[1]
+            ):
+                while hint_i < len(gate_hint) and gate_hint[hint_i] < st[1]:
+                    hint_i += 1
+                if hint_i >= len(gate_hint):
+                    break  # no further gates: rest of the contig is clean
+                g = int(gate_hint[hint_i])
+                if g > st[1]:
+                    delta = g - st[1]
+                    st[0] += delta
+                    st[2] += delta
+                    st[1] = g
+                    st[3] = g + k - 1
+                    window = bytes(self._char_at(i) for i in range(st[0], st[2] + 1))
+                    fh = nh.base_forward_hash(window, k)
+                    rh = nh.base_reverse_hash(window, k)
             hv = self._hashes(fh, rh)
             gate = (
                 cfg.snv
@@ -510,7 +550,9 @@ class Oracle:
             )
             if gate:
                 draft_char = _upper(self._char_at(st[2]))
-                fh, rh = self._fix_site(draft_char, st, fh, rh)
+                fh, rh, edited = self._fix_site(draft_char, st, fh, rh)
+                if edited:
+                    dirty_until = st[3] + 2 * k
             # bottom roll with non-ACGT skip (ntedit.cpp:2118-2138)
             target = -1
             while True:
@@ -528,7 +570,7 @@ class Oracle:
 
     def _fix_site(self, draft_char, st, fh, rh):
         """The flagged-site confirmation + trial block
-        (ntedit.cpp:1808-2116)."""
+        (ntedit.cpp:1808-2116).  Returns (fh, rh, edited)."""
         cfg = self.cfg
         k = cfg.k
         tmp = list(st)
@@ -571,7 +613,7 @@ class Oracle:
             )
         )
         if not attempt:
-            return fh, rh
+            return fh, rh, False
 
         best = dict(
             type=0, sub_base=0, indel="", alt_indel="", support=0,
@@ -658,7 +700,4 @@ class Oracle:
                     if self._try_indels(draft_char, sub_base, del_state, st, fh, rh, best):
                         if cfg.mode in (0, 1):
                             break
-        return self._make_edit(draft_char, best, st, fh, rh)[:2]
-
-    # NOTE: _make_edit returns (fh, rh, reseeded); the reseeded flag is
-    # absorbed because st was updated in place either way.
+        return self._make_edit(draft_char, best, st, fh, rh)

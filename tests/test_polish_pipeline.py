@@ -1,0 +1,139 @@
+"""Pipeline equivalence: dense-flag + fast-forward repair must be
+bit-identical to the plain scalar oracle on every workload shape."""
+
+import io
+
+import numpy as np
+import pytest
+
+from ntedit_tpu.core import bloom, nthash_ref as nh
+from ntedit_tpu.engine.config import EngineConfig
+from ntedit_tpu.engine.oracle import Oracle
+from ntedit_tpu.engine.polish import Polisher
+from ntedit_tpu.io import writers
+from ntedit_tpu.utils import simulate
+
+
+def render(result, snv=False):
+    d, r, v = io.StringIO(), io.StringIO(), io.StringIO()
+    writers.write_contig(result, d, r, v, snv=snv)
+    return d.getvalue() + "\x00" + r.getvalue() + "\x00" + v.getvalue()
+
+
+def assert_equivalent(draft, bf, bfrep=None, **cfg_kw):
+    cfg = EngineConfig(k=bf.k, hash_num=bf.hash_num, **cfg_kw)
+    slow = Oracle(bf, bfrep, cfg).polish_contig("ctg", bytes(draft))
+    fast = Polisher(bf, bfrep, cfg, chunk=8192).polish_contig("ctg", np.asarray(draft))
+    assert fast.edited == slow.edited
+    assert render(fast, snv=cfg.snv) == render(slow, snv=cfg.snv)
+    return fast
+
+
+class TestEquivalence:
+    def test_clean_contig(self):
+        truth = simulate.random_genome(3000, seed=21)
+        bf = simulate.truth_bf(truth, 25)
+        res = assert_equivalent(truth, bf)
+        assert res.edited == truth.tobytes()
+
+    @pytest.mark.parametrize("mode", [0, 1, 2])
+    def test_sparse_errors(self, mode):
+        wl = simulate.make_workload(length=12000, k=25, seed=22)
+        res = assert_equivalent(wl.draft, wl.bf, mode=mode)
+        assert res.edited == wl.truth.tobytes()
+
+    def test_clustered_errors(self):
+        # errors closer than the dirty-zone horizon stress fast-forward
+        truth = simulate.random_genome(6000, seed=23)
+        draft, _ = simulate.inject_errors(truth, sub_rate=5e-3, min_gap=8, seed=24)
+        bf = simulate.truth_bf(truth, 25)
+        assert_equivalent(draft, bf)
+
+    def test_non_acgt_runs(self):
+        truth = simulate.random_genome(4000, seed=25)
+        draft = truth.copy()
+        draft[1000:1020] = ord("N")
+        draft[2000] = ord("R")
+        draft[2500] = ord("A") if truth[2500] != ord("A") else ord("C")
+        bf = simulate.truth_bf(truth, 25)
+        assert_equivalent(draft, bf)
+
+    def test_lowercase_draft(self):
+        truth = simulate.random_genome(3000, seed=26)
+        draft = truth.copy()
+        lower = draft[500:600] + 32
+        draft[500:600] = lower
+        draft[550] = ord("a") if truth[550] != ord("A") else ord("c")
+        bf = simulate.truth_bf(truth, 25)
+        assert_equivalent(draft, bf)
+
+    def test_mask_mode(self):
+        truth = simulate.random_genome(3000, seed=27)
+        draft = truth.copy()
+        p = 1500
+        draft[p] = ord("A") if truth[p] != ord("A") else ord("C")
+        bf = bloom.KmerBloomFilter.zeros(1 << 14, 3, 25)
+        bf.insert_seq(truth[: p - 40])
+        bf.insert_seq(truth[p + 40 :])
+        assert_equivalent(draft, bf, mask=True)
+
+    def test_cbf_band(self):
+        truth = simulate.random_genome(3000, seed=28)
+        draft = truth.copy()
+        p = 1200
+        draft[p] = ord("A") if truth[p] != ord("A") else ord("C")
+        cbf = bloom.KmerCountingBloomFilter8.zeros(1 << 17, 3, 25)
+        fh, rh = nh.all_window_hashes(truth, 25)
+        hashes = nh.extend_hashes_vec(nh.canonical(fh, rh), 25, 3)
+        for _ in range(4):
+            cbf.insert_hashes(hashes)
+        assert_equivalent(draft, cbf, min_threshold=2)
+
+    def test_secondary_bf(self):
+        wl = simulate.make_workload(length=5000, k=25, seed=29)
+        rep = bloom.KmerBloomFilter.zeros(1 << 12, 3, 25)
+        rep.insert_seq(wl.truth[2000:2600])  # reject a repeat-ish region
+        assert_equivalent(wl.draft, wl.bf, bfrep=rep)
+
+    def test_snv_mode(self):
+        truth = simulate.random_genome(1200, seed=30)
+        p = 600
+        variant = truth.copy()
+        variant[p] = ord("A") if truth[p] != ord("A") else ord("C")
+        bf = simulate.truth_bf(truth, 25)
+        bf.insert_seq(variant)
+        assert_equivalent(truth, bf, snv=True)
+
+    def test_error_near_contig_ends(self):
+        truth = simulate.random_genome(800, seed=31)
+        draft = truth.copy()
+        draft[27] = ord("A") if truth[27] != ord("A") else ord("C")
+        draft[-27] = ord("A") if truth[-27] != ord("A") else ord("C")
+        bf = simulate.truth_bf(truth, 25)
+        assert_equivalent(draft, bf)
+
+    def test_short_contig_skipped(self):
+        truth = simulate.random_genome(80, seed=32)
+        bf = simulate.truth_bf(truth, 25)
+        pol = Polisher(bf, chunk=8192)
+        results = list(pol.polish([("tiny", truth)]))
+        assert results == []  # shorter than min_contig_len: not emitted
+
+    def test_multi_contig_stream(self):
+        bf = None
+        contigs = []
+        truths = []
+        for s in range(3):
+            t = simulate.random_genome(2000, seed=40 + s)
+            truths.append(t)
+        cat = np.concatenate(truths)
+        bf = simulate.truth_bf(cat, 25)
+        drafts = []
+        for s, t in enumerate(truths):
+            d, _ = simulate.inject_errors(t, seed=50 + s)
+            drafts.append((f"c{s}", d))
+        pol = Polisher(bf, chunk=8192)
+        out = list(pol.polish(drafts))
+        assert len(out) == 3
+        for res, t in zip(out, truths):
+            assert res.edited == t.tobytes()
