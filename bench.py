@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark: E. coli-scale polish throughput on one TPU chip.
+
+Workload mirrors the reference demo (SURVEY.md §6): a 4,708,041 bp draft
+(E. coli U00096.3 size) with ~0.001 substitution + ~0.0001 indel error
+rates, k=25, Bloom filter of truth k-mers.  The metric is end-to-end
+engine throughput — dense device flag pass + sparse repair + record
+generation, excluding BF construction (the reference's `ntedit` stage also
+excludes ntcard/ntstat).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference C++ engine cannot run here (btllib is not
+installable in this environment); BASELINE_BASES_PER_SEC is the measured
+throughput of our from-spec C++ scalar engine when built (native/, same
+algorithm, -O3, 4 threads as the reference default), else a documented
+estimate of ntEdit v2.1.1 at t=4 (~6 Mbp/s on E. coli-class inputs).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_BASES_PER_SEC = 6.0e6  # documented estimate; see module docstring
+ECOLI_LEN = 4_708_041
+K = 25
+
+
+def measured_cpp_baseline():
+    """If the native baseline engine has produced a measurement, use it."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native", "baseline.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return float(json.load(f)["bases_per_sec"])
+        except Exception:
+            return None
+    return None
+
+
+def main():
+    from ntedit_tpu.core import bloom
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+    from ntedit_tpu.utils import simulate
+
+    t0 = time.time()
+    truth = simulate.random_genome(ECOLI_LEN, seed=42)
+    draft, edits = simulate.inject_errors(
+        truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=43
+    )
+    # native power-of-two sizing (fast mask probes); ~truth k-mer count
+    nbytes = bloom.pow2_size_bytes(ECOLI_LEN, 3, 0.001)
+    bf = bloom.KmerBloomFilter.zeros(nbytes, 3, K)
+    bf.insert_seq(truth)
+    print(f"# setup {time.time() - t0:.1f}s: draft {len(draft)} bp, "
+          f"{len(edits)} injected errors, BF {nbytes >> 20} MiB", file=sys.stderr)
+
+    cfg = EngineConfig(k=K, hash_num=3)
+    pol = Polisher(bf, None, cfg)
+
+    # warmup (compile)
+    warm = pol.gate_positions(draft[: (1 << 18) + K - 1])
+    print(f"# warmup gates: {len(warm)}", file=sys.stderr)
+
+    t1 = time.time()
+    res = pol.polish_contig("ecoli_sim", draft)
+    dt = time.time() - t1
+    n_fixed = sum(1 for a, b in [(len(res.edited), len(truth))])
+    correct = res.edited == truth.tobytes()
+    bases_per_sec = len(draft) / dt
+
+    # dense-scan-only rate (device ceiling), reported to stderr
+    t2 = time.time()
+    gp = pol.gate_positions(draft)
+    scan_dt = time.time() - t2
+    print(f"# polish {dt:.2f}s ({bases_per_sec:,.0f} bp/s), edits={len(res.subs)}"
+          f" correct={correct}; dense scan {len(draft)/scan_dt:,.0f} bp/s"
+          f" gates={len(gp)}", file=sys.stderr)
+
+    baseline = measured_cpp_baseline() or BASELINE_BASES_PER_SEC
+    print(json.dumps({
+        "metric": "bases_polished_per_sec_chip_ecoli_k25",
+        "value": round(bases_per_sec, 1),
+        "unit": "bases/s",
+        "vs_baseline": round(bases_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Device-mesh parallelism: sharded dense scanning and Bloom-filter
+collectives.
+
+The reference's only parallelism is OpenMP threads over contigs in shared
+memory (/root/reference/ntedit.cpp:2213; SURVEY.md §2.3).  The TPU-native
+equivalents here are:
+
+* **Contig-window data parallelism** — contigs are tiled into fixed windows
+  of ``chunk + k - 1`` bases (k-1-base halo, the genomics analogue of
+  sequence/context parallelism: a k-mer straddling a tile boundary needs
+  the neighbour's first k-1 bases).  Tiles are sharded across the mesh and
+  the dense flag pass runs under shard_map with zero cross-tile
+  communication.
+* **Bloom-filter OR-allreduce** — data-parallel filter construction builds
+  one partial bit array per device from its read shard; the arrays are
+  merged with a bitwise-OR allreduce (ring of ppermute+OR over uint32
+  words).  The counting-filter analogue is a saturating-add allreduce
+  (psum on int32 then clip to uint8).
+* **Replicated filter, sharded probes** — during editing the merged filter
+  is read-only (ntedit.cpp:2213 shares it across threads); it is
+  replicated per device in HBM and probed with device-local gathers.
+
+Everything here runs identically on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``) and on real TPU slices; on
+multi-host systems initialize ``jax.distributed`` first and the same code
+shards over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ntedit_tpu.core import bloom, nthash as nt
+from ntedit_tpu.engine import flag
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Collectives
+# ---------------------------------------------------------------------------
+
+def ring_or(x: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Bitwise-OR allreduce across a mesh axis (inside shard_map).
+
+    Implemented as a (D-1)-step ppermute ring: each step every device ORs
+    in its left neighbour's rolling buffer.  For filter-sized arrays this
+    rides ICI at full ring bandwidth; a reduce-scatter+all-gather variant
+    is a follow-up optimization.
+    """
+    n = jax.lax.psum(1, axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(i, carry):
+        acc, buf = carry
+        buf = jax.lax.ppermute(buf, axis, perm)
+        return acc | buf, buf
+
+    acc, _ = jax.lax.fori_loop(0, n - 1, body, (x, x))
+    return acc
+
+
+def saturating_add_allreduce(counts_u8: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """CBF merge: sum per-device uint8 counters with saturation at 255."""
+    s = jax.lax.psum(counts_u8.astype(jnp.int32), axis)
+    return jnp.minimum(s, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel BF construction (device-side insert + OR merge)
+# ---------------------------------------------------------------------------
+
+def _bit_indices(seqs, k: int, hash_num: int, nbits_pow2: int):
+    """k-mer bit indices of every window of every row of ``seqs``
+    [R, Lr] -> int32 [R, Lr-k+1, hash_num].  Power-of-two filters only
+    (framework-native sizing) so the modulo is a mask."""
+    mask = np.uint32(nbits_pow2 - 1) if nbits_pow2 <= (1 << 32) else None
+    assert nbits_pow2 & (nbits_pow2 - 1) == 0 and nbits_pow2 <= (1 << 31)
+
+    def per_row(row):
+        fh, rh = nt.window_hashes(row, k)
+        hashes = nt.extend(nt.canonical(fh, rh), k, hash_num)
+        return jnp.stack([(h[1] & mask).astype(jnp.int32) for h in hashes], -1)
+
+    return jax.vmap(per_row)(seqs)
+
+
+def build_bf_words(seqs, k: int, hash_num: int, nbits_pow2: int) -> jnp.ndarray:
+    """Device-local BF build: insert every k-mer of every row.
+
+    Returns the packed uint32 word array [nbits/32].  Bit set via a
+    byte-per-bit scatter-max then an on-device pack (XLA has no scatter-or;
+    the unpacked buffer is transient).
+    """
+    idx = _bit_indices(seqs, k, hash_num, nbits_pow2).reshape(-1)
+    bitbytes = jnp.zeros((nbits_pow2,), jnp.uint8).at[idx].max(np.uint8(1))
+    b = bitbytes.reshape(-1, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return (b << shifts).sum(axis=1, dtype=jnp.uint32)
+
+
+def sharded_bf_build(mesh: Mesh, read_shards: np.ndarray, k: int, hash_num: int,
+                     nbits_pow2: int) -> jnp.ndarray:
+    """Data-parallel BF construction: shard reads over the mesh, build
+    per-device partial filters, merge with the OR-allreduce.  Returns the
+    replicated word array."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=P("d"), out_specs=P(),
+        check_vma=False,
+    )
+    def step(shard):
+        words = build_bf_words(shard, k, hash_num, nbits_pow2)
+        return ring_or(words, "d")
+
+    return jax.jit(step)(read_shards)
+
+
+# ---------------------------------------------------------------------------
+# Sharded dense flag pass
+# ---------------------------------------------------------------------------
+
+def sharded_flag(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray, *, k: int,
+                 hash_num: int, nbits: int, snv: bool = False,
+                 min_threshold: int = 1):
+    """tiles: [T, chunk + k - 1] uint8, T divisible by mesh size; filter
+    words replicated.  Returns gate bits [T, chunk] (host)."""
+    df_proto = bloom.DeviceFilter(None, None, nbits, 0, hash_num, k, False)
+
+    def per_tile(tile, w):
+        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
+        gate, _p, _c, _v = flag.flag_chunk(tile, df, k, snv, min_threshold)
+        return gate
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("d", None), P()), out_specs=P("d", None),
+        check_vma=False,
+    )
+    def step(tile_shard, w):
+        return jax.vmap(lambda t: per_tile(t, w))(tile_shard)
+
+    return jax.jit(step)(tiles, words)
+
+
+def tile_contig(seq: np.ndarray, chunk: int, k: int, n_tiles_multiple: int = 1):
+    """Tile one contig into [T, chunk + k - 1] windows with k-1 halos,
+    padding the tail (and T up to a multiple) with zero bytes.  Returns
+    (tiles, n_heads) where n_heads = len(seq) - k + 1 valid head count."""
+    L = len(seq)
+    n = max(0, L - k + 1)
+    T = max(1, -(-n // chunk))
+    T = -(-T // n_tiles_multiple) * n_tiles_multiple
+    padded = np.zeros(T * chunk + k - 1, dtype=np.uint8)
+    padded[:L] = seq
+    tiles = np.stack([padded[i * chunk : i * chunk + chunk + k - 1] for i in range(T)])
+    return tiles, n
