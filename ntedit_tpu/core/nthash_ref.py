@@ -244,6 +244,27 @@ def all_window_hashes(seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return fh, rh
 
 
+def batch_window_hashes(mat: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(fh, rh) of every window of every row: mat [R, L] -> [R, L-k+1].
+
+    Same prefix-XOR-scan algebra as all_window_hashes, vectorized over
+    rows (used by the vectorized site fixer to hash hundreds of patched
+    trial sequences at once)."""
+    R, L = mat.shape
+    n = L - k + 1
+    t = np.arange(L, dtype=np.int64)
+    fterms = srol_vec(seeds_of(mat), np.broadcast_to((-t) % SROL_PERIOD, (R, L)))
+    rterms = srol_vec(cseeds_of(mat), np.broadcast_to(t % SROL_PERIOD, (R, L)))
+    pf = np.zeros((R, L + 1), dtype=np.uint64)
+    pr = np.zeros((R, L + 1), dtype=np.uint64)
+    np.bitwise_xor.accumulate(fterms, axis=1, out=pf[:, 1:])
+    np.bitwise_xor.accumulate(rterms, axis=1, out=pr[:, 1:])
+    h = np.arange(n, dtype=np.int64)
+    fh = srol_vec(pf[:, h + k] ^ pf[:, h], np.broadcast_to((h + k - 1) % SROL_PERIOD, (R, n)))
+    rh = srol_vec(pr[:, h + k] ^ pr[:, h], np.broadcast_to((-h) % SROL_PERIOD, (R, n)))
+    return fh, rh
+
+
 def extend_hashes_vec(base: np.ndarray, k: int, m: int) -> np.ndarray:
     """[n] canonical hashes -> [n, m] extended hashes."""
     out = np.empty((len(base), m), dtype=np.uint64)

@@ -137,6 +137,42 @@ def _upper(c: int) -> int:
     return c - 32 if 97 <= c <= 122 else c
 
 
+def shuffle_best(b: dict, sub_base: int, check_present: int) -> None:
+    """Best-substitution/alternate bookkeeping (ntedit.cpp:2008-2056):
+    a qualifying substitution with support >= current best replaces it,
+    cascading the old best into the ranked alternates; otherwise it is
+    inserted into the alternates by support."""
+    if check_present >= b["support"]:
+        if b["altsupp2"]:
+            b["altbase3"], b["altsupp3"] = b["altbase2"], b["altsupp2"]
+        if b["altsupp1"]:
+            b["altbase2"], b["altsupp2"] = b["altbase1"], b["altsupp1"]
+        if b["support"]:
+            b["altbase1"], b["altsupp1"] = b["sub_base"], b["support"]
+        b["type"] = 1
+        b["sub_base"] = sub_base
+        b["support"] = check_present
+    else:
+        if not b["altsupp1"]:
+            b["altbase1"], b["altsupp1"] = sub_base, check_present
+        elif not b["altsupp2"]:
+            if check_present < b["altsupp1"]:
+                b["altbase2"], b["altsupp2"] = sub_base, check_present
+            else:
+                b["altbase2"], b["altsupp2"] = b["altbase1"], b["altsupp1"]
+                b["altbase1"], b["altsupp1"] = sub_base, check_present
+        elif not b["altsupp3"]:
+            if check_present < b["altsupp2"]:
+                b["altbase3"], b["altsupp3"] = sub_base, check_present
+            elif check_present < b["altsupp1"]:
+                b["altbase3"], b["altsupp3"] = b["altbase2"], b["altsupp2"]
+                b["altbase2"], b["altsupp2"] = sub_base, check_present
+            else:
+                b["altbase3"], b["altsupp3"] = b["altbase2"], b["altsupp2"]
+                b["altbase2"], b["altsupp2"] = b["altbase1"], b["altsupp1"]
+                b["altbase1"], b["altsupp1"] = sub_base, check_present
+
+
 def is_repeat_insertion(s: str) -> bool:
     """KMP failure-function periodicity test (ntedit.cpp:560-596)."""
     n = len(s)
@@ -160,13 +196,17 @@ def is_repeat_insertion(s: str) -> bool:
 
 
 class Oracle:
-    def __init__(self, bloom, bloomrep, cfg: EngineConfig):
+    def __init__(self, bloom, bloomrep, cfg: EngineConfig, fast: bool = False):
         self.bloom = bloom if isinstance(bloom, BFLike) else BFLike(bloom)
         self.bloomrep = (
             None if bloomrep is None else (bloomrep if isinstance(bloomrep, BFLike) else BFLike(bloomrep))
         )
         self.cfg = cfg.validate()
         self.bases_tab = SNV_BASES if self.cfg.snv else POLISH_BASES
+        # fast=True dispatches eligible flagged sites to the vectorized
+        # fixer (ntedit_tpu.engine.sitefix); the scalar path remains the
+        # spec and the fallback.
+        self.fast = fast
 
     # -- hashing helpers ---------------------------------------------------
     def _hashes(self, fh, rh):
@@ -411,6 +451,8 @@ class Oracle:
                 cell[CHAR] = best["sub_base"]
             fh = nh.change_last_forward(fh, draft_char, best["sub_base"])
             rh = nh.change_last_reverse(rh, cfg.k, draft_char, best["sub_base"])
+            # windows with head past the substituted tail are unedited
+            self._dirty_hint = st[3] + 1
             return fh, rh, True
         if kind == 2:  # insertion
             prev = self._prev_insertion(t_idx)
@@ -439,6 +481,7 @@ class Oracle:
                     if kmer is not None:
                         fh = nh.base_forward_hash(kmer, cfg.k)
                         rh = nh.base_reverse_hash(kmer, cfg.k)
+                    self._dirty_hint = st[3] + 2 * cfg.k
                     return fh, rh, True
             new_cells = [[-1, ord(ch), best["support"], 0] for ch in indel]
             cells[t_idx:t_idx] = new_cells
@@ -446,6 +489,9 @@ class Oracle:
             # t_node_index pointing at it, ntedit.cpp:625-714)
             fh = nh.change_last_forward(fh, draft_char, ord(indel[0]))
             rh = nh.change_last_reverse(rh, cfg.k, draft_char, ord(indel[0]))
+            # inserted cells precede the anchor cell (orig == st[3]); heads
+            # from that coordinate on see only original content
+            self._dirty_hint = st[3]
             return fh, rh, True
         if kind == 3:  # deletion
             n_del = len(best["indel"])
@@ -458,6 +504,9 @@ class Oracle:
                 new_last = 0
             fh = nh.change_last_forward(fh, draft_char, new_last)
             rh = nh.change_last_reverse(rh, cfg.k, draft_char, new_last)
+            # post-edit st[3] is the first original coordinate after the
+            # junction; windows headed there contain no edited content
+            self._dirty_hint = st[3]
             return fh, rh, True
         # kind == 0: no fix (ntedit.cpp:1409-1443)
         edited = False
@@ -470,6 +519,7 @@ class Oracle:
                 cell[CHAR] = low
             fh = nh.change_last_forward(fh, draft_char, low)
             rh = nh.change_last_reverse(rh, cfg.k, draft_char, low)
+            self._dirty_hint = st[3] + 1
             edited = True
         if cfg.snv and best["altsupp1"]:
             self.subs.append(
@@ -550,9 +600,16 @@ class Oracle:
             )
             if gate:
                 draft_char = _upper(self._char_at(st[2]))
-                fh, rh, edited = self._fix_site(draft_char, st, fh, rh)
+                res = None
+                if self.fast:
+                    from ntedit_tpu.engine import sitefix
+
+                    res = sitefix.try_fix_site_fast(self, draft_char, st, fh, rh)
+                if res is None:
+                    res = self._fix_site(draft_char, st, fh, rh)
+                fh, rh, edited = res
                 if edited:
-                    dirty_until = st[3] + 2 * k
+                    dirty_until = max(dirty_until, self._dirty_hint)
             # bottom roll with non-ACGT skip (ntedit.cpp:2118-2138)
             target = -1
             while True:
@@ -663,37 +720,7 @@ class Oracle:
                     cell[CHAR] = saved
 
                 if check_present >= cfg.present_needed:
-                    # best/alt shuffle (ntedit.cpp:2008-2056)
-                    b = best
-                    if check_present >= b["support"]:
-                        if b["altsupp2"]:
-                            b["altbase3"], b["altsupp3"] = b["altbase2"], b["altsupp2"]
-                        if b["altsupp1"]:
-                            b["altbase2"], b["altsupp2"] = b["altbase1"], b["altsupp1"]
-                        if b["support"]:
-                            b["altbase1"], b["altsupp1"] = b["sub_base"], b["support"]
-                        b["type"] = 1
-                        b["sub_base"] = sub_base
-                        b["support"] = check_present
-                    else:
-                        if not b["altsupp1"]:
-                            b["altbase1"], b["altsupp1"] = sub_base, check_present
-                        elif not b["altsupp2"]:
-                            if check_present < b["altsupp1"]:
-                                b["altbase2"], b["altsupp2"] = sub_base, check_present
-                            else:
-                                b["altbase2"], b["altsupp2"] = b["altbase1"], b["altsupp1"]
-                                b["altbase1"], b["altsupp1"] = sub_base, check_present
-                        elif not b["altsupp3"]:
-                            if check_present < b["altsupp2"]:
-                                b["altbase3"], b["altsupp3"] = sub_base, check_present
-                            elif check_present < b["altsupp1"]:
-                                b["altbase3"], b["altsupp3"] = b["altbase2"], b["altsupp2"]
-                                b["altbase2"], b["altsupp2"] = sub_base, check_present
-                            else:
-                                b["altbase3"], b["altsupp3"] = b["altbase2"], b["altsupp2"]
-                                b["altbase2"], b["altsupp2"] = b["altbase1"], b["altsupp1"]
-                                b["altbase1"], b["altsupp1"] = sub_base, check_present
+                    shuffle_best(best, sub_base, check_present)
                     if cfg.mode in (0, 1):
                         continue
                 if cfg.mode == 2 or best["type"] != 1:

@@ -36,6 +36,7 @@ class Polisher:
         cfg: Optional[EngineConfig] = None,
         use_device: bool = True,
         chunk: int = flag.DEFAULT_CHUNK,
+        fast_sites: bool = True,
     ):
         if cfg is None:
             cfg = EngineConfig(k=host_bloom.k, hash_num=host_bloom.hash_num)
@@ -46,7 +47,7 @@ class Polisher:
         self.cfg = cfg.validate()
         self.bloom = host_bloom
         self.bloomrep = host_bloomrep
-        self.oracle = Oracle(host_bloom, host_bloomrep, self.cfg)
+        self.oracle = Oracle(host_bloom, host_bloomrep, self.cfg, fast=fast_sites)
         self.use_device = use_device
         self.chunk = chunk
         self.df = bloom.DeviceFilter.from_host(host_bloom) if use_device else None
