@@ -7,3 +7,29 @@ and a batched edit state machine over sharded contig windows.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """XLA compiles of the dense flag pass take minutes per process on a
+    tunneled TPU backend; the persistent cache amortizes them across runs
+    (reference analogue: the engine is a recompiled-per-invocation C++
+    binary — here one cached XLA program serves every invocation)."""
+    try:
+        import jax
+
+        cache = _os.environ.get(
+            "NTEDIT_TPU_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "ntedit_tpu", "xla"),
+        )
+        if cache and cache != "0":
+            _os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or read-only home: compile-per-process still works
+
+
+_enable_persistent_compile_cache()

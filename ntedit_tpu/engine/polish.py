@@ -37,6 +37,7 @@ class Polisher:
         use_device: bool = True,
         chunk: int = flag.DEFAULT_CHUNK,
         fast_sites: bool = True,
+        engine: str = "wavefront",
     ):
         if cfg is None:
             cfg = EngineConfig(k=host_bloom.k, hash_num=host_bloom.hash_num)
@@ -50,6 +51,7 @@ class Polisher:
         self.oracle = Oracle(host_bloom, host_bloomrep, self.cfg, fast=fast_sites)
         self.use_device = use_device
         self.chunk = chunk
+        self.engine = engine if use_device else "sequential"
         self.df = bloom.DeviceFilter.from_host(host_bloom) if use_device else None
 
     def gate_positions(self, seq: np.ndarray) -> Optional[np.ndarray]:
@@ -63,6 +65,21 @@ class Polisher:
 
     def polish_contig(self, header: str, seq: np.ndarray) -> ContigResult:
         hint = self.gate_positions(seq)
+        if self.engine == "wavefront" and hint is not None:
+            from ntedit_tpu.engine import wavefront
+
+            if self.cfg.snv:
+                # SNV gates every head; the dense hint only constrains
+                # candidates in polish mode
+                hint_wf = np.arange(max(0, len(seq) - self.cfg.k + 1))
+            else:
+                hint_wf = hint
+            try:
+                return wavefront.polish_contig_wavefront(
+                    self.oracle, header, bytes(seq), hint_wf
+                )
+            except wavefront.WavefrontBailout:
+                pass  # rare scan-order-dependent case: sequential engine
         return self.oracle.polish_contig(header, bytes(seq), gate_hint=hint)
 
     def polish(

@@ -1,46 +1,54 @@
-"""Vectorized flagged-site repair.
+"""Vectorized flagged-site repair, batched across sites.
 
-Batch-evaluates everything the scalar oracle's ``_fix_site`` does
-sequentially — the subset-missing confirmation, all substitution verify
-scans, all 341 insertion trials, and all deletion trials — as window
-hashes over patched local slices, probed in bulk.  This is the exact
-blueprint of the on-device repair machine: every reference "roll loop" is
-re-expressed as "hashes of consecutive windows of a patched sequence",
-which the reference's own rolling recurrences guarantee are equal (tested
-in tests/test_nthash.py::test_roll_matches_scratch).
+Re-expresses everything the scalar oracle's ``_fix_site`` does sequentially
+— the subset-missing confirmation, substitution verify scans, insertion and
+deletion trials — as window hashes over patched slices, probed in bulk and
+batched over MANY sites at once.  Every reference "roll loop" becomes
+"hashes of consecutive windows of a patched sequence", which the rolling
+recurrences guarantee equal (tests/test_nthash.py::test_roll_matches_scratch).
+This is the blueprint (and host reference) of the on-device repair machine;
+the probe backend is swappable (numpy here, jnp gathers on TPU).
 
-Applicable only at *pristine* sites — the k-window plus trial lookahead
-lies in untouched, contiguous original cells away from the contig ends.
-Anything else (recent edits nearby, contig ends where the reference's
-truncation semantics kick in, inserted characters in the window) falls
-back to the scalar path.  Equivalence with the scalar path on both the
-fast and fallback routes is property-tested in tests/test_sitefix.py.
+Batched evaluation applies only at *pristine* sites — the k-window plus the
+trial lookahead lies in untouched contiguous original cells away from the
+contig ends.  Everything else falls back to the scalar spec path.
 
 Median collections inside trials are deliberately skipped: the reference
-computes them but uses them only for verbose output (the threshold code is
-commented out, ntedit.cpp:2000-2007, 1536-1541, 1664-1670); only the
+computes them but uses them only for verbose output (their threshold code
+is commented out, ntedit.cpp:2000-2007, 1536-1541, 1664-1670); only the
 confirmation scan's check_there median is live (gate + SNV baseline).
 """
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Optional
+
 import numpy as np
 
 from ntedit_tpu.core import nthash_ref as nh
-from ntedit_tpu.engine.config import MULTI_POSSIBLE_BASES, NUM_TRIES
+from ntedit_tpu.engine.config import ACCEPTED, MULTI_POSSIBLE_BASES, NUM_TRIES
 from ntedit_tpu.engine.oracle import (
     ORIG,
-    is_accepted,
     is_atgc,
     median_u8,
     shuffle_best,
 )
 
+_ACC = np.zeros(256, dtype=bool)
+for _c in ACCEPTED:
+    _ACC[_c] = True
+    _ACC[_c + 32] = True
+
+
+def span_for(cfg) -> int:
+    return 2 * cfg.k + cfg.max_deletions + 2
+
 
 def _bulk(oracle, mat: np.ndarray):
     """Hash every window of every row and probe in bulk.
 
-    mat [R, L] -> dict with contains/solid/count arrays [R, L-k+1]."""
+    mat [R, L] -> (contains, solid, counts) arrays [R, L-k+1]."""
     cfg = oracle.cfg
     k = cfg.k
     fh, rh = nh.batch_window_hashes(mat, k)
@@ -68,177 +76,179 @@ def _bulk(oracle, mat: np.ndarray):
     return contains, solid, counts
 
 
-def try_fix_site_fast(oracle, draft_char: int, st, fh, rh):
-    """Vectorized equivalent of Oracle._fix_site.  Returns
-    (fh, rh, edited) or None when the site is not eligible (caller falls
-    back to the scalar path)."""
+# ---------------------------------------------------------------------------
+# Batched stages
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ConfirmResult:
+    check_missing: np.ndarray   # [S]
+    check_there: np.ndarray     # [S]
+    there_median: np.ndarray    # [S]
+    do_not_fix: np.ndarray      # [S] bool
+    gate: np.ndarray            # [S] bool: live absence gate of the window itself
+
+
+def confirm_batch(oracle, W: np.ndarray, draft_chars: np.ndarray) -> ConfirmResult:
+    """Subset-missing confirmation (ntedit.cpp:1820-1873) for S pristine
+    sites.  W [S, >=2k]: slice starting at each site's window head."""
     cfg = oracle.cfg
     k = cfg.k
-    cells = oracle.cells
-    h_idx = st[0]
-    span = 2 * k + cfg.max_deletions + 2
-    if h_idx + span > len(cells):
-        return None
-    base_seq = st[1]
-    for i in range(span):
-        if cells[h_idx + i][ORIG] != base_seq + i:
-            return None
-    w = np.frombuffer(bytes(oracle.contig[base_seq : base_seq + span]), dtype=np.uint8)
-
-    # ---- confirmation scan (ntedit.cpp:1820-1873) ----
-    tail = w[k : 2 * k]  # charIn for roll kk = 0..k-1
-    upper = np.where((tail >= 97) & (tail <= 122), tail - 32, tail)
-    acc = np.array([is_accepted(int(c)) for c in upper], dtype=bool)
-    bad = np.nonzero(~acc)[0]
-    limit = int(bad[0]) if len(bad) else k
-    do_not_fix = len(bad) > 0
-    conf_contains, conf_solid, conf_counts = _bulk(oracle, w[None, : 2 * k])
-    # window at offset kk+1 corresponds to roll kk
-    kk = np.arange(limit)
+    S = W.shape[0]
+    contains, _solid, counts = _bulk(oracle, W[:, : 2 * k])
+    tail_acc = _ACC[W[:, k : 2 * k]]                       # [S, k]
+    bad_any = ~tail_acc
+    first_bad = np.where(bad_any.any(1), bad_any.argmax(1), k)  # limit per row
+    kk = np.arange(k)
+    active = kk[None, :] < first_bad[:, None]
     stride = (kk % cfg.jump) == 0
-    miss = stride & ~conf_contains[0, kk + 1]
-    there_ok = (
-        stride
-        & conf_contains[0, kk + 1]
-        & (is_atgc(draft_char))
-        & (
-            np.ones(limit, bool)
-            if not oracle.bloom.is_counting
-            else conf_counts[0, kk + 1] >= cfg.min_threshold
-        )
+    win = contains[:, 1 : k + 1]
+    miss = active & stride[None, :] & ~win
+    atgc = np.array([is_atgc(int(c)) for c in draft_chars], dtype=bool)
+    cnt_ok = (
+        counts[:, 1 : k + 1] >= cfg.min_threshold
+        if oracle.bloom.is_counting
+        else np.ones_like(win)
     )
-    check_missing = int(miss.sum())
-    check_there = int(there_ok.sum())
-    check_there_median = (
-        median_u8(list(conf_counts[0, kk + 1][there_ok])) if oracle.bloom.is_counting else 0
-    )
-
-    attempt = cfg.snv or (
-        not do_not_fix
-        and (
-            check_missing >= cfg.missing_needed
-            or (oracle.bloom.is_counting and check_there_median < cfg.min_threshold)
-        )
-    )
-    best = dict(
-        type=0, sub_base=0, indel="", alt_indel="", support=0,
-        altbase1=0, altsupp1=0, altbase2=0, altsupp2=0, altbase3=0, altsupp3=0,
-    )
-    if not attempt:
-        return fh, rh, False
-
-    del_state = [1]
-    if cfg.snv and check_there >= cfg.present_needed:
-        best["sub_base"] = draft_char
-        best["support"] = check_there_median if oracle.bloom.is_counting else check_there
-
-    alts = oracle.bases_tab.get(chr(draft_char), "")
-    if alts:
-        # batch all substitution pre-checks + verify scans at once
-        n_alt = len(alts)
-        patched = np.repeat(w[None, : 2 * k], n_alt, axis=0)
-        for i, b in enumerate(alts):
-            patched[i, k - 1] = ord(b)
-        sub_contains, sub_solid, _ = _bulk(oracle, patched)
-        kk2 = np.arange(k)
-        stride2 = (kk2 % cfg.jump) == 0
-        # verify: rolls kk=0..k-1 -> windows at offsets kk+1
-        sub_present = (
-            stride2[None, :] & sub_contains[:, kk2 + 1] & sub_solid[:, kk2 + 1]
-        ).sum(axis=1)
-        pre_ok = sub_contains[:, 0] & sub_solid[:, 0]
-
-        for i, b_ch in enumerate(alts):
-            sub_base = ord(b_ch)
-            if pre_ok[i] or cfg.mode == 2:
-                check_present = int(sub_present[i])
-                if check_present >= cfg.present_needed:
-                    shuffle_best(best, sub_base, check_present)
-                    if cfg.mode in (0, 1):
-                        continue
-                if cfg.mode == 2 or best["type"] != 1:
-                    if _try_indels_fast(oracle, w, draft_char, sub_base, del_state, best):
-                        if cfg.mode in (0, 1):
-                            break
-    return oracle._make_edit(draft_char, best, st, fh, rh)
+    there = active & stride[None, :] & win & atgc[:, None] & cnt_ok
+    med = np.zeros(S, dtype=np.int64)
+    if oracle.bloom.is_counting:
+        for s in range(S):
+            med[s] = median_u8(list(counts[s, 1 : k + 1][there[s]]))
+    gate = np.full(S, cfg.snv) | ~contains[:, 0]
+    if oracle.bloom.is_counting and cfg.min_threshold > 1:
+        gate |= counts[:, 0] < cfg.min_threshold
+    return ConfirmResult(miss.sum(1), there.sum(1), med, bad_any.any(1), gate)
 
 
-def _try_indels_fast(oracle, w: np.ndarray, draft_char: int, index_char: int,
-                     del_state, best: dict) -> bool:
-    """Vectorized tryIndels (ntedit.cpp:1548-1744) over a pristine slice.
+def subs_batch(oracle, W: np.ndarray, draft_chars: np.ndarray):
+    """Substitution pre-checks + verify scans for all alternates of S sites.
 
-    Insertion trial i: windows of  w[:k-1] + ins_i + w[k-1:...]  at offsets
-    1..k-1, counted at (offset-1) % j == 0.
-    Deletion length d: windows of  w[:k-1] + w[k-1+d:...]  at offsets
-    0..k-2; offset 0 unconditionally, offsets kk>=1 at kk % j == 0.
-    Winner arbitration replays the reference's interleaved trial order.
-    """
+    Returns (alts [S,4] ASCII or 0-pad, pre_ok [S,4], present [S,4])."""
     cfg = oracle.cfg
+    k = cfg.k
+    S = W.shape[0]
+    tab = oracle.bases_tab
+    alts = np.zeros((S, 4), dtype=np.uint8)
+    for s in range(S):
+        a = tab.get(chr(draft_chars[s]), "")
+        for i, ch in enumerate(a):
+            alts[s, i] = ord(ch)
+    n_alt = (alts > 0).sum(1)
+    # build [S*4, 2k] patched rows (padded rows still computed; masked later)
+    rows = np.repeat(W[:, None, : 2 * k], 4, axis=1).reshape(S * 4, 2 * k)
+    flat_alts = alts.reshape(-1)
+    live = flat_alts > 0
+    rows[live, k - 1] = flat_alts[live]
+    contains, solid, _ = _bulk(oracle, rows)
+    kk = np.arange(k)
+    stride = (kk % cfg.jump) == 0
+    present = (
+        (stride[None, :] & contains[:, 1 : k + 1] & solid[:, 1 : k + 1]).sum(1)
+    ).reshape(S, 4)
+    pre_ok = (contains[:, 0] & solid[:, 0]).reshape(S, 4)
+    pre_ok[alts == 0] = False
+    return alts, pre_ok, present
+
+
+def indel_batch(oracle, W: np.ndarray, index_chars: np.ndarray, del_starts: np.ndarray):
+    """Insertion + deletion trial supports for N (site, alternate) pairs.
+
+    W [N, span]; index_chars [N] (the alternate base anchoring the insertion
+    table); del_starts [N] (each pair's current shared deletion counter).
+    Returns (ins_support [N, n_tries], del_support [N, max_d+1] with column
+    d-1 = support of deletion length d, -1 where not tried)."""
+    cfg = oracle.cfg
+    k = cfg.k
+    N = W.shape[0]
+    n_tries = NUM_TRIES[cfg.max_insertions]
+    ins_support = np.zeros((N, max(n_tries, 1)), dtype=np.int64)
+    if n_tries:
+        width = 2 * k + 4
+        rows = np.zeros((N, n_tries, width), dtype=np.uint8)
+        for n in range(N):
+            ins_list = MULTI_POSSIBLE_BASES[chr(index_chars[n])]
+            w = W[n]
+            for i in range(n_tries):
+                ins = ins_list[i]
+                li = len(ins)
+                rows[n, i, : k - 1] = w[: k - 1]
+                rows[n, i, k - 1 : k - 1 + li] = np.frombuffer(ins.encode(), np.uint8)
+                rows[n, i, k - 1 + li :] = w[k - 1 : k - 1 + width - (k - 1 + li)]
+        contains, solid, _ = _bulk(oracle, rows.reshape(N * n_tries, width))
+        kk = np.arange(k - 1)
+        stride = (kk % cfg.jump) == 0
+        ins_support = (
+            (stride[None, :] & contains[:, 1 : k] & solid[:, 1 : k]).sum(1)
+        ).reshape(N, n_tries)
+
+    max_d = cfg.max_deletions
+    del_support = np.full((N, max_d + 1), -1, dtype=np.int64)
+    if max_d and n_tries:
+        drows = []
+        owners = []
+        for n in range(N):
+            w = W[n]
+            for d in range(int(del_starts[n]), max_d + 1):
+                row = np.empty(2 * k - 1, dtype=np.uint8)
+                row[: k - 1] = w[: k - 1]
+                row[k - 1 :] = w[k - 1 + d : k - 1 + d + k]
+                drows.append(row)
+                owners.append((n, d))
+        if drows:
+            contains, solid, _ = _bulk(oracle, np.stack(drows))
+            dkk = np.arange(1, k - 1)
+            dstride = (dkk % cfg.jump) == 0
+            sup = (
+                (contains[:, 0] & solid[:, 0]).astype(np.int64)
+                + (dstride[None, :] & contains[:, dkk] & solid[:, dkk]).sum(1)
+            )
+            for (n, d), v in zip(owners, sup):
+                del_support[n, d - 1] = v
+    return ins_support, del_support
+
+
+def arbitrate_indels(cfg, ins_support, del_support, index_char: int,
+                     del_state, best: dict, w: np.ndarray) -> bool:
+    """Winner arbitration for one tryIndels call (ntedit.cpp:1548-1744),
+    replaying the interleaved trial order over precomputed supports.
+    Mutates ``best`` / ``del_state`` exactly like the scalar path."""
     k = cfg.k
     n_tries = NUM_TRIES[cfg.max_insertions]
     if n_tries == 0:
         return False
-    ins_list = MULTI_POSSIBLE_BASES[chr(index_char)][:n_tries]
-    width = 2 * k + 4  # k-1 + max_ins(5) + k windows worth
-    rows = np.zeros((n_tries, width), dtype=np.uint8)
-    for i, ins in enumerate(ins_list):
-        li = len(ins)
-        rows[i, : k - 1] = w[: k - 1]
-        rows[i, k - 1 : k - 1 + li] = np.frombuffer(ins.encode(), dtype=np.uint8)
-        take = width - (k - 1 + li)
-        rows[i, k - 1 + li :] = w[k - 1 : k - 1 + take]
-    ins_contains, ins_solid, _ = _bulk(oracle, rows)
-    kk = np.arange(k - 1)  # roll kk -> window offset kk+1
-    stride = (kk % cfg.jump) == 0
-    ins_support = (
-        stride[None, :] & ins_contains[:, kk + 1] & ins_solid[:, kk + 1]
-    ).sum(axis=1)
-    ins_qual = ins_support >= cfg.present_needed
-
-    # deletions: lengths s..max_d tried at iterations 0..(max_d - s)
+    ins_list = MULTI_POSSIBLE_BASES[chr(index_char)]
     s = del_state[0]
-    del_lengths = list(range(s, cfg.max_deletions + 1))
-    if del_lengths:
-        drows = np.zeros((len(del_lengths), 2 * k - 1), dtype=np.uint8)
-        for di, d in enumerate(del_lengths):
-            drows[di, : k - 1] = w[: k - 1]
-            drows[di, k - 1 :] = w[k - 1 + d : k - 1 + d + k]
-        del_contains, del_solid, _ = _bulk(oracle, drows)
-        dkk = np.arange(1, k - 1)  # rolls 1..k-2 -> offsets 1..k-2
-        dstride = (dkk % cfg.jump) == 0
-        del_support = (
-            (del_contains[:, 0] & del_solid[:, 0]).astype(np.int64)
-            + (dstride[None, :] & del_contains[:, dkk] & del_solid[:, dkk]).sum(axis=1)
-        )
-        del_qual = del_support >= cfg.present_needed_deletion
-        del_state[0] = cfg.max_deletions + 1 if n_tries >= len(del_lengths) else s + n_tries
-    else:
-        del_support = np.zeros(0, dtype=np.int64)
-        del_qual = np.zeros(0, dtype=bool)
-
-    # interleaved trial order: ins_i at rank 2i, deletion (iteration i) at 2i+1
-    candidates = []  # (rank, type, support, payload)
+    # interleaved candidates: insertion i at rank 2i; the deletion tried at
+    # iteration i (length s+i, while <= max_d) at rank 2i+1
+    candidates = []
+    ins_qual = ins_support[:n_tries] >= cfg.present_needed
     for i in np.nonzero(ins_qual)[0]:
         candidates.append((2 * int(i), 2, int(ins_support[i]), ins_list[int(i)]))
-    for di in np.nonzero(del_qual)[0]:
-        if int(di) < n_tries:  # deletion at iteration di must exist
-            deleted = w[k - 1 : k - 1 + del_lengths[int(di)]].tobytes().decode()
-            candidates.append((2 * int(di) + 1, 3, int(del_support[di]), deleted))
+    for d in range(s, cfg.max_deletions + 1):
+        i = d - s
+        if i >= n_tries:
+            break
+        sup = int(del_support[d - 1])
+        if sup >= cfg.present_needed_deletion:
+            deleted = w[k - 1 : k - 1 + d].tobytes().decode()
+            candidates.append((2 * i + 1, 3, sup, deleted))
+    # advance the shared deletion counter like the scalar loop
+    if s <= cfg.max_deletions:
+        iters = n_tries
+        del_state[0] = min(cfg.max_deletions, s + iters - 1) + 1
     candidates.sort(key=lambda c: c[0])
     if not candidates:
         return False
-
     if cfg.mode == 0:
-        rank, typ, sup, payload = candidates[0]
+        _rank, typ, sup, payload = candidates[0]
         best.update(type=typ, indel=payload, support=sup)
         return True
-
-    # modes 1/2: last-max wins; alt = best before the final replacement
     t_best_sup = 0
     t_alt_sup = 0
     t_best = None
     t_alt = None
-    for rank, typ, sup, payload in candidates:
+    for _rank, typ, sup, payload in candidates:
         if sup >= t_best_sup:
             if t_best_sup:
                 t_alt, t_alt_sup = t_best, t_best_sup
@@ -250,3 +260,111 @@ def _try_indels_fast(oracle, w: np.ndarray, draft_char: int, index_char: int,
         )
         best["altsupp1"] = t_alt_sup
     return True
+
+
+def empty_best() -> dict:
+    return dict(
+        type=0, sub_base=0, indel="", alt_indel="", support=0,
+        altbase1=0, altsupp1=0, altbase2=0, altsupp2=0, altbase3=0, altsupp3=0,
+    )
+
+
+def decide_site_gen(oracle, w: np.ndarray, draft_char: int, conf: ConfirmResult,
+                    s_idx: int, alts_row, pre_ok_row, present_row):
+    """Replay the sequential decision for one site over precomputed
+    substitution data, as a generator.  Yields ``(index_char, del_start)``
+    whenever indel trials are needed (the driver batches those across sites
+    and ``send``s back ``(ins_sup_row, del_sup_row)``).  Returns (via
+    StopIteration.value) the final ``best`` dict, or None when no fix is
+    attempted."""
+    cfg = oracle.cfg
+    attempt = cfg.snv or (
+        not conf.do_not_fix[s_idx]
+        and (
+            conf.check_missing[s_idx] >= cfg.missing_needed
+            or (oracle.bloom.is_counting and conf.there_median[s_idx] < cfg.min_threshold)
+        )
+    )
+    if not attempt:
+        return None
+    best = empty_best()
+    del_state = [1]
+    if cfg.snv and conf.check_there[s_idx] >= cfg.present_needed:
+        best["sub_base"] = draft_char
+        best["support"] = int(
+            conf.there_median[s_idx] if oracle.bloom.is_counting else conf.check_there[s_idx]
+        )
+    for a in range(4):
+        if alts_row[a] == 0:
+            break
+        sub_base = int(alts_row[a])
+        if pre_ok_row[a] or cfg.mode == 2:
+            check_present = int(present_row[a])
+            if check_present >= cfg.present_needed:
+                shuffle_best(best, sub_base, check_present)
+                if cfg.mode in (0, 1):
+                    continue
+            if cfg.mode == 2 or best["type"] != 1:
+                ins_sup, del_sup = yield (sub_base, del_state[0])
+                if arbitrate_indels(cfg, ins_sup, del_sup, sub_base, del_state, best, w):
+                    if cfg.mode in (0, 1):
+                        break
+    return best
+
+
+def run_decider(oracle, gen, w: np.ndarray):
+    """Drive a decide_site_gen unbatched (single-site use): evaluate each
+    indel request immediately.  Returns the final best dict (or None)."""
+    try:
+        req = gen.send(None)
+        while True:
+            index_char, del_start = req
+            ins_sup, del_sup = indel_batch(
+                oracle, w[None], np.array([index_char]), np.array([del_start])
+            )
+            req = gen.send((ins_sup[0], del_sup[0]))
+    except StopIteration as stop:
+        return stop.value
+
+
+# ---------------------------------------------------------------------------
+# Single-site entry (used by the sequential fast path)
+# ---------------------------------------------------------------------------
+
+def site_pristine(oracle, h_idx: int, base_seq: int) -> bool:
+    cells = oracle.cells
+    span = span_for(oracle.cfg)
+    if h_idx + span > len(cells):
+        return False
+    for i in range(span):
+        if cells[h_idx + i][ORIG] != base_seq + i:
+            return False
+    return True
+
+
+def try_fix_site_fast(oracle, draft_char: int, st, fh, rh):
+    """Vectorized equivalent of Oracle._fix_site for one pristine site.
+    Returns (fh, rh, edited) or None if ineligible (fallback to scalar)."""
+    cfg = oracle.cfg
+    if not site_pristine(oracle, st[0], st[1]):
+        return None
+    span = span_for(cfg)
+    w = np.frombuffer(bytes(oracle.contig[st[1] : st[1] + span]), dtype=np.uint8)
+    dc = np.array([draft_char], dtype=np.uint8)
+    conf = confirm_batch(oracle, w[None], dc)
+    # quick exit without substitution batching when no attempt will happen
+    attempt = cfg.snv or (
+        not conf.do_not_fix[0]
+        and (
+            conf.check_missing[0] >= cfg.missing_needed
+            or (oracle.bloom.is_counting and conf.there_median[0] < cfg.min_threshold)
+        )
+    )
+    if not attempt:
+        return fh, rh, False
+    alts, pre_ok, present = subs_batch(oracle, w[None], dc)
+    gen = decide_site_gen(oracle, w, draft_char, conf, 0, alts[0], pre_ok[0], present[0])
+    best = run_decider(oracle, gen, w)
+    if best is None:
+        return fh, rh, False
+    return oracle._make_edit(draft_char, best, st, fh, rh)

@@ -1,0 +1,326 @@
+"""Wavefront repair: batched multi-site editing with exact sequential
+semantics.
+
+The sequential scan (oracle.polish_contig) is an inherently serial walk;
+but edits are sparse and their influence is local — an edit at window head
+``g`` can only change the gate state or fix decision of heads within
+``g + k + max_deletions`` (its window-overlap zone).  The wavefront engine
+exploits this:
+
+  round:
+    1. evaluate the round's *leader* sites in parallel against round-start
+       state (batched confirmation / substitution / indel stages over
+       pristine sites; scalar spec path inline for non-pristine ones).
+       A leader is a pending gate more than one influence zone right of
+       the previous leader: a draft error flags a run of ~k consecutive
+       heads, but the sequential scan only ever pays for the first — the
+       rest become clean (or re-gated) once the leader's decision lands,
+       so evaluating them against round-start state is wasted work;
+    2. commit decisions left-to-right.  A no-edit decision always commits.
+       After an *edit* commits, its influence zone is immediately
+       re-flagged against live content: if the zone is quiet (no new gates,
+       no deferred sites inside), committing continues; otherwise all
+       remaining sites of the round are deferred (they sit right of
+       unresolved work, and sequential order owns them next round).
+       Shadowed (non-leader) sites inside a committed zone are dropped —
+       the zone re-flag re-derived the live gates there; shadowed sites
+       beyond every committed zone (their leader declined to edit) are
+       deferred and lead the next round.
+
+This reproduces the sequential result exactly: a decision commits only
+when every site to its left is final and its own window was evaluated
+against final content (property-tested against the oracle in
+tests/test_wavefront.py).  On clean drafts with sparse errors, one round
+commits ~99% of sites.
+
+Rare bail-outs (whole contig falls back to the sequential engine):
+insertion low-complexity rollbacks (require >= k inserted bases at one
+locus) whose re-seed semantics are scan-order-dependent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ntedit_tpu.core import nthash_ref as nh
+from ntedit_tpu.engine import sitefix
+from ntedit_tpu.engine.oracle import (
+    CHAR,
+    ORIG,
+    ContigResult,
+    Oracle,
+    _upper,
+    find_first_accepted_kmer,
+)
+
+
+class WavefrontBailout(Exception):
+    pass
+
+
+def _seq_of(cells, idx: int, L: int) -> int:
+    if idx < len(cells) and cells[idx][ORIG] >= 0:
+        return cells[idx][ORIG]
+    j = min(idx, len(cells)) - 1
+    while j >= 0:
+        if cells[j][ORIG] >= 0:
+            return cells[j][ORIG] + 1
+        j -= 1
+    return 0
+
+
+def _char_at(oracle, idx: int) -> int:
+    c = oracle.cells[idx]
+    return oracle.contig[c[ORIG]] if c[ORIG] >= 0 else c[CHAR]
+
+
+def polish_contig_wavefront(
+    oracle: Oracle, header: str, seq: bytes, gate_heads: np.ndarray,
+    eval_chunk: int = 1 << 15,
+) -> ContigResult:
+    cfg = oracle.cfg
+    k = cfg.k
+    L = len(seq)
+    oracle.contig = bytearray(seq)
+    oracle.cells = [[i, 0, 0, 0] for i in range(L)]
+    oracle.subs = []
+    result = ContigResult(header, oracle.contig, oracle.cells, oracle.subs)
+
+    h0 = find_first_accepted_kmer(0, bytes(seq), k)
+    if h0 + k - 1 >= L:
+        return result
+    pending = [int(g) for g in gate_heads if h0 <= g <= L - k]
+    infl = k + cfg.max_deletions  # influence reach of one edit, seq coords
+
+    while pending:
+        pending = sorted(set(pending))
+        batch = pending[:eval_chunk]
+        rest = pending[eval_chunk:]
+        new_pending = []
+        deferred_tail = False
+
+        # ---- classify (leaders only get evaluated) ----
+        sites = []  # (cell_idx, h_seq, pristine, leader)
+        last_leader = -(1 << 60)
+        for hc in batch:
+            h_seq = _seq_of(oracle.cells, hc, L)
+            if h_seq + k - 1 >= L:
+                continue  # scan would have terminated before this head
+            if hc + k - 1 >= len(oracle.cells):
+                continue
+            if h_seq > last_leader + infl:
+                last_leader = h_seq
+                sites.append(
+                    (hc, h_seq, sitefix.site_pristine(oracle, hc, h_seq), True)
+                )
+            else:
+                sites.append((hc, h_seq, False, False))
+
+        # ---- evaluate pristine leader sites in batch ----
+        span = sitefix.span_for(cfg)
+        pr = [s for s in sites if s[2]]
+        decisions = {}
+        if pr:
+            W = np.stack(
+                [
+                    np.frombuffer(
+                        bytes(oracle.contig[h_seq : h_seq + span]), dtype=np.uint8
+                    )
+                    for _, h_seq, _, _ in pr
+                ]
+            )
+            draft_chars = np.array(
+                [_upper(int(W[i, k - 1])) for i in range(len(pr))], dtype=np.uint8
+            )
+            conf = sitefix.confirm_batch(oracle, W, draft_chars)
+            # substitution batching only where a fix will actually be tried
+            need = np.zeros(len(pr), dtype=bool)
+            for i in range(len(pr)):
+                if not conf.gate[i]:
+                    continue
+                need[i] = cfg.snv or (
+                    not conf.do_not_fix[i]
+                    and (
+                        conf.check_missing[i] >= cfg.missing_needed
+                        or (
+                            oracle.bloom.is_counting
+                            and conf.there_median[i] < cfg.min_threshold
+                        )
+                    )
+                )
+            alts = np.zeros((len(pr), 4), dtype=np.uint8)
+            pre_ok = np.zeros((len(pr), 4), dtype=bool)
+            present = np.zeros((len(pr), 4), dtype=np.int64)
+            if need.any():
+                sub_a, sub_p, sub_s = sitefix.subs_batch(
+                    oracle, W[need], draft_chars[need]
+                )
+                alts[need], pre_ok[need], present[need] = sub_a, sub_p, sub_s
+            gens = {}
+            requests = {}
+            for i, (hc, h_seq, _, _) in enumerate(pr):
+                if not conf.gate[i]:
+                    # pending was stale: the window itself is live-present
+                    decisions[hc] = (int(draft_chars[i]), None)
+                    continue
+                g = sitefix.decide_site_gen(
+                    oracle, W[i], int(draft_chars[i]), conf, i,
+                    alts[i], pre_ok[i], present[i],
+                )
+                try:
+                    requests[i] = g.send(None)
+                    gens[i] = g
+                except StopIteration as stop:
+                    decisions[hc] = (int(draft_chars[i]), stop.value)
+            # staged batched indel evaluation
+            while requests:
+                idxs = sorted(requests)
+                sub_w = W[idxs]
+                ics = np.array([requests[i][0] for i in idxs])
+                dss = np.array([requests[i][1] for i in idxs])
+                ins_sup, del_sup = sitefix.indel_batch(oracle, sub_w, ics, dss)
+                nxt = {}
+                for row, i in enumerate(idxs):
+                    try:
+                        nxt[i] = gens[i].send((ins_sup[row], del_sup[row]))
+                    except StopIteration as stop:
+                        decisions[pr[i][0]] = (int(draft_chars[i]), stop.value)
+                requests = nxt
+
+        # ---- commit left-to-right ----
+        delta = 0
+        blocked = False
+        infl_end = -1  # influence horizon of the last committed edit
+        for hc, h_seq, pristine, leader in sites:
+            if blocked:
+                if h_seq <= infl_end:
+                    continue  # the blocking edit's zone re-flag owns these
+                new_pending.append(hc + delta)
+                continue
+            if h_seq <= infl_end:
+                # inside a committed edit's influence zone: the zone
+                # re-flag already re-derived live gates there; the stale
+                # round-start decision must not commit
+                continue
+            if not leader:
+                # shadowed by a leader that declined to edit: not evaluated
+                # this round — it leads the next one
+                new_pending.append(hc + delta)
+                continue
+            hc_adj = hc + delta
+            st = [
+                hc_adj,
+                h_seq,
+                hc_adj + k - 1,
+                _seq_of(oracle.cells, hc_adj + k - 1, L),
+            ]
+            if pristine:
+                draft_char, best = decisions[hc]
+                if best is None:
+                    continue  # no fix attempted; nothing changes
+                _guard_rollback(oracle, best, st)
+                n_before = len(oracle.cells)
+                _fh, _rh, edited = oracle._make_edit(
+                    draft_char, best, st, np.uint64(0), np.uint64(0)
+                )
+            else:
+                # scalar spec path, evaluated against *current* state
+                window = bytes(_char_at(oracle, i) for i in range(st[0], st[2] + 1))
+                fh = nh.base_forward_hash(window, k)
+                rh = nh.base_reverse_hash(window, k)
+                # live gate re-check (zone-derived sites were gated already,
+                # but state may have changed within the same round)
+                hv = oracle._hashes(fh, rh)
+                gate = (
+                    cfg.snv
+                    or not oracle.bloom.contains(hv)
+                    or (
+                        oracle.bloom.is_counting
+                        and oracle.bloom.get_count(hv) < cfg.min_threshold
+                    )
+                )
+                if not gate:
+                    continue
+                draft_char = _upper(_char_at(oracle, st[2]))
+                n_before = len(oracle.cells)
+                _check_rollback_risk(oracle, st)
+                _fh, _rh, edited = oracle._fix_site(draft_char, st, fh, rh)
+            if edited:
+                delta += len(oracle.cells) - n_before
+                infl_end = h_seq + infl
+                zone_gates, quiet = _reflag_zone(oracle, st, h_seq, infl, L)
+                new_pending.extend(zone_gates)
+                if not quiet:
+                    blocked = True
+
+        pending = new_pending + [p + delta for p in rest]
+    # commits from deferred rounds can land out of scan order; the
+    # sequential engine emits records in strictly increasing position
+    oracle.subs.sort(key=lambda r: r.pos)
+    return result
+
+
+def _guard_rollback(oracle, best: dict, st) -> None:
+    """Insertion rollbacks re-seed scanning in a scan-order-dependent way;
+    bail to the sequential engine when one would trigger
+    (ntedit.cpp:1312-1344)."""
+    if best["type"] == 2:
+        prev = oracle._prev_insertion(st[2])
+        if len(prev) + len(best["indel"]) >= oracle.cfg.k:
+            raise WavefrontBailout("insertion low-complexity rollback")
+
+
+def _check_rollback_risk(oracle, st) -> None:
+    """Scalar-path equivalent of _guard_rollback: a rollback is only
+    possible if an insertion run of length >= k - 5 precedes the cursor."""
+    prev = oracle._prev_insertion(st[2])
+    if len(prev) + 5 >= oracle.cfg.k:
+        raise WavefrontBailout("possible insertion rollback")
+
+
+def _reflag_zone(oracle, st, h_seq: int, infl: int, L: int):
+    """Live-gate the influence zone of a just-committed edit.
+
+    Returns (zone_gate_cells, quiet).  Heads from st[0]+1 while their seq
+    coordinate <= h_seq + infl are re-evaluated against current content;
+    quiet means no gates were found (committing may continue)."""
+    cfg = oracle.cfg
+    k = cfg.k
+    cells = oracle.cells
+    gates = []
+    idx = st[0] + 1
+    end_seq = h_seq + infl
+    heads = []
+    while idx < len(cells):
+        hs = _seq_of(cells, idx, L)
+        if hs > end_seq:
+            break
+        heads.append((idx, hs))
+        idx += 1
+    if not heads:
+        return gates, True
+    # heads are consecutive cell indices: one char segment covers all
+    # windows (may include inserted cells)
+    n = len(heads)
+    seg_end = min(heads[-1][0] + k, len(cells))
+    seg = np.array(
+        [_char_at(oracle, i) for i in range(heads[0][0], seg_end)], dtype=np.uint8
+    )
+    W = np.zeros((n, k), dtype=np.uint8)
+    valid = np.ones(n, dtype=bool)
+    for i, (hidx, hs) in enumerate(heads):
+        if hs + k - 1 >= L or hidx + k - 1 >= len(cells):
+            valid[i] = False
+            continue
+        W[i] = seg[i : i + k]
+    acc = sitefix._ACC[W].all(axis=1)
+    contains, _solid, counts = sitefix._bulk(oracle, W)  # windows of width k -> 1 col
+    present = contains[:, 0]
+    gate = np.full(n, cfg.snv) | ~present
+    if oracle.bloom.is_counting and cfg.min_threshold > 1:
+        gate |= counts[:, 0] < cfg.min_threshold
+    gate &= valid & acc
+    for i, (hidx, hs) in enumerate(heads):
+        if gate[i]:
+            gates.append(hidx)
+    return gates, len(gates) == 0
