@@ -153,14 +153,15 @@ class KmerCountingBloomFilter8:
         return self.counters[idx].min(axis=-1)
 
     def insert_hashes(self, hashes: np.ndarray) -> None:
-        """Saturating increment of every probed slot, one k-mer at a time.
-
-        (btllib CBF increments all m slots per insert; saturates at 255.)"""
-        idx = (hashes % np.uint64(self.bytes)).astype(np.int64)
-        for row in idx:
-            for slot in row:
-                if self.counters[slot] < 255:
-                    self.counters[slot] += 1
+        """Saturating increment of every probed slot (btllib CBF semantics:
+        all m slots +1 per insert, saturating at 255).  Batch-equivalent:
+        per-slot total increments, then one clamped add — same result as
+        stepwise saturation because saturation is monotone."""
+        idx = (hashes % np.uint64(self.bytes)).astype(np.int64).ravel()
+        slots, inc = np.unique(idx, return_counts=True)
+        cur = self.counters[slots].astype(np.uint16)
+        cur += np.minimum(inc, 255).astype(np.uint16)
+        self.counters[slots] = np.minimum(cur, 255).astype(np.uint8)
 
     def save(self, path: str) -> None:
         _save(path, KMER_CBF_SIGNATURE, self.counters,
