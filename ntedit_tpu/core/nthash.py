@@ -42,9 +42,13 @@ CP_OFF = ref.CP_OFF
 
 
 def _tab_pair(tab_u64: np.ndarray):
+    # numpy on purpose: captured tables embed into the lowered program as
+    # inline constants; device-resident (jnp) constants would be pulled
+    # back host-side during every lowering (array._value RPC), which stalls
+    # on tunneled TPU backends
     return (
-        jnp.asarray((tab_u64 >> np.uint64(32)).astype(np.uint32)),
-        jnp.asarray((tab_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        (tab_u64 >> np.uint64(32)).astype(np.uint32),
+        (tab_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
     )
 
 
@@ -59,12 +63,12 @@ _MULTISHIFT = int(ref.MULTISHIFT)
 def seed_of(seq):
     """ASCII bytes [..] -> forward seeds as u64 pair."""
     idx = jnp.asarray(seq, jnp.int32)
-    return SEED_TAB[0][idx], SEED_TAB[1][idx]
+    return jnp.asarray(SEED_TAB[0])[idx], jnp.asarray(SEED_TAB[1])[idx]
 
 
 def cseed_of(seq):
     idx = jnp.asarray(seq, jnp.int32)
-    return CSEED_TAB[0][idx], CSEED_TAB[1][idx]
+    return jnp.asarray(CSEED_TAB[0])[idx], jnp.asarray(CSEED_TAB[1])[idx]
 
 
 def canonical(fh, rh):
@@ -158,8 +162,8 @@ def windows_direct(buf, k: int, starts, frot=None, rrot=None):
     )
     pos = jnp.arange(k, dtype=jnp.int32) * 256
     flat = chars.astype(jnp.int32) + pos  # [..., k] indices into [k*256]
-    fh = (frot[0][flat], frot[1][flat])
-    rh = (rrot[0][flat], rrot[1][flat])
+    fh = (jnp.asarray(frot[0])[flat], jnp.asarray(frot[1])[flat])
+    rh = (jnp.asarray(rrot[0])[flat], jnp.asarray(rrot[1])[flat])
 
     def _xor_reduce(p):
         return (

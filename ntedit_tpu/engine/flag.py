@@ -36,7 +36,8 @@ _ACCEPTED_TAB = np.zeros(256, dtype=np.uint8)
 for _c in ACCEPTED:
     _ACCEPTED_TAB[_c] = 1
     _ACCEPTED_TAB[_c + 32] = 1  # lowercase
-ACCEPTED_TAB = jnp.asarray(_ACCEPTED_TAB)
+# numpy constant (not jnp): inline-embedded at lowering, no device fetch
+ACCEPTED_TAB = _ACCEPTED_TAB
 
 DEFAULT_CHUNK = 1 << 18
 
@@ -59,7 +60,7 @@ def flag_chunk(seq, df: bloom.DeviceFilter, k: int, snv: bool, min_threshold: in
     else:
         present = df.contains(hashes)
         count = jnp.where(present, np.uint8(1), np.uint8(0))
-    acc = ACCEPTED_TAB[seq.astype(jnp.int32)].astype(jnp.int32)
+    acc = jnp.asarray(ACCEPTED_TAB)[seq.astype(jnp.int32)].astype(jnp.int32)
     cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(acc)])
     n = seq.shape[0] - k + 1
     h = jnp.arange(n, dtype=jnp.int32)
