@@ -85,7 +85,11 @@ class KmerBloomFilter:
     # -- probing (numpy, vectorized; used by the scalar oracle and tests) --
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
         """hashes [n, m] uint64 -> bool [n] (all m bits set)."""
-        idx = hashes % np.uint64(self.bits)
+        bits = self.bits
+        if bits & (bits - 1) == 0:
+            idx = hashes & np.uint64(bits - 1)  # pow2: mask beats u64 modulo
+        else:
+            idx = hashes % np.uint64(bits)
         byte = (idx >> np.uint64(3)).astype(np.int64)
         mask = np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
         return ((self.data[byte] & mask) != 0).all(axis=-1)

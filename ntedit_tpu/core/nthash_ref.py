@@ -202,17 +202,62 @@ def cseeds_of(seq: np.ndarray) -> np.ndarray:
     return SEED_TAB[seq & np.uint8(CP_OFF)]
 
 
+def _srol_split(x: np.ndarray, d_lo: np.ndarray, d_hi: np.ndarray) -> np.ndarray:
+    """srol with pre-split per-element rotation counts (d_lo = d mod 33,
+    d_hi = d mod 31, both uint64).  d==0 needs no guard: lo>>33 and
+    hi>>31 are 0 for 33/31-bit values, so the OR degenerates to identity."""
+    lo = x & _LOW33
+    hi = x >> np.uint64(33)
+    lo = ((lo << d_lo) | (lo >> (np.uint64(33) - d_lo))) & _LOW33
+    hi = ((hi << d_hi) | (hi >> (np.uint64(31) - d_hi))) & np.uint64(0x7FFFFFFF)
+    return (hi << np.uint64(33)) | lo
+
+
 def srol_vec(x: np.ndarray, d: np.ndarray) -> np.ndarray:
     """Vectorized srol^d_i(x_i) with per-element rotation counts."""
     d_lo = (d % SPLIT_LOW_BITS).astype(np.uint64)
     d_hi = (d % SPLIT_HIGH_BITS).astype(np.uint64)
-    lo = x & _LOW33
-    hi = x >> np.uint64(33)
-    lo = ((lo << d_lo) | (lo >> (np.uint64(33) - d_lo))) & _LOW33
-    lo = np.where(d_lo == 0, x & _LOW33, lo)
-    hi31 = ((hi << d_hi) | (hi >> (np.uint64(31) - d_hi))) & np.uint64(0x7FFFFFFF)
-    hi31 = np.where(d_hi == 0, hi, hi31)
-    return (hi31 << np.uint64(33)) | lo
+    return _srol_split(x, d_lo, d_hi)
+
+
+_SROL_TABS: tuple | None = None
+
+
+def _seed_rot_tables() -> tuple[np.ndarray, np.ndarray]:
+    """F[c, d] = srol^d(seed(c)) and R[c, d] = srol^d(cseed(c)), both
+    [256, SROL_PERIOD] (~2 MiB each).  The per-position rolled seed terms
+    of the window-hash prefix scans take only these 256x1023 values, so a
+    gather replaces the per-element split-rotate (the hot cost of host
+    hashing; see profile in the commit that introduced this)."""
+    global _SROL_TABS
+    if _SROL_TABS is None:
+        d = np.arange(SROL_PERIOD, dtype=np.int64)
+        F = srol_vec(SEED_TAB[:, None], np.broadcast_to(d, (256, SROL_PERIOD)))
+        _SROL_TABS = (F, F[np.arange(256) & CP_OFF])
+    return _SROL_TABS
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _win_dists(L: int, k: int):
+    """Cached rotation-distance vectors for length-L rows and k-windows."""
+    t = np.arange(L, dtype=np.int64)
+    h = np.arange(L - k + 1, dtype=np.int64)
+
+    def split(dd):
+        return (
+            (dd % SPLIT_LOW_BITS).astype(np.uint64),
+            (dd % SPLIT_HIGH_BITS).astype(np.uint64),
+        )
+
+    return (
+        (-t) % SROL_PERIOD,
+        t % SROL_PERIOD,
+        split((h + k - 1) % SROL_PERIOD),
+        split((-h) % SROL_PERIOD),
+    )
 
 
 def all_window_hashes(seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -230,17 +275,16 @@ def all_window_hashes(seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     n = L - k + 1
     if n <= 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
-    t = np.arange(L, dtype=np.int64)
-    neg = (-t) % SROL_PERIOD
-    fterms = srol_vec(seeds_of(seq), neg)
-    rterms = srol_vec(cseeds_of(seq), t % SROL_PERIOD)
+    F, R = _seed_rot_tables()
+    neg, pos, (wfl, wfh), (wrl, wrh) = _win_dists(L, k)
+    fterms = F[seq, neg]
+    rterms = R[seq, pos]
     pf = np.zeros(L + 1, dtype=np.uint64)
     pr = np.zeros(L + 1, dtype=np.uint64)
     np.bitwise_xor.accumulate(fterms, out=pf[1:])
     np.bitwise_xor.accumulate(rterms, out=pr[1:])
-    h = np.arange(n, dtype=np.int64)
-    fh = srol_vec(pf[h + k] ^ pf[h], (h + k - 1) % SROL_PERIOD)
-    rh = srol_vec(pr[h + k] ^ pr[h], (-h) % SROL_PERIOD)
+    fh = _srol_split(pf[k:] ^ pf[:n], wfl, wfh)
+    rh = _srol_split(pr[k:] ^ pr[:n], wrl, wrh)
     return fh, rh
 
 
@@ -252,16 +296,16 @@ def batch_window_hashes(mat: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray
     trial sequences at once)."""
     R, L = mat.shape
     n = L - k + 1
-    t = np.arange(L, dtype=np.int64)
-    fterms = srol_vec(seeds_of(mat), np.broadcast_to((-t) % SROL_PERIOD, (R, L)))
-    rterms = srol_vec(cseeds_of(mat), np.broadcast_to(t % SROL_PERIOD, (R, L)))
+    Ftab, Rtab = _seed_rot_tables()
+    neg, pos, (wfl, wfh), (wrl, wrh) = _win_dists(L, k)
+    fterms = Ftab[mat, neg]
+    rterms = Rtab[mat, pos]
     pf = np.zeros((R, L + 1), dtype=np.uint64)
     pr = np.zeros((R, L + 1), dtype=np.uint64)
     np.bitwise_xor.accumulate(fterms, axis=1, out=pf[:, 1:])
     np.bitwise_xor.accumulate(rterms, axis=1, out=pr[:, 1:])
-    h = np.arange(n, dtype=np.int64)
-    fh = srol_vec(pf[:, h + k] ^ pf[:, h], np.broadcast_to((h + k - 1) % SROL_PERIOD, (R, n)))
-    rh = srol_vec(pr[:, h + k] ^ pr[:, h], np.broadcast_to((-h) % SROL_PERIOD, (R, n)))
+    fh = _srol_split(pf[:, k:] ^ pf[:, :n], wfl, wfh)
+    rh = _srol_split(pr[:, k:] ^ pr[:, :n], wrl, wrh)
     return fh, rh
 
 

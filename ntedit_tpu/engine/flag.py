@@ -71,6 +71,47 @@ def flag_chunk(seq, df: bloom.DeviceFilter, k: int, snv: bool, min_threshold: in
     return gate & valid, present, count, valid
 
 
+@partial(jax.jit, static_argnames=("k", "snv", "min_threshold"))
+def flag_chunk_packed(seq, df: bloom.DeviceFilter, k: int, snv: bool,
+                      min_threshold: int):
+    """flag_chunk with the gate bitmap packed to uint32 words on device:
+    [C] bools -> [C/32] words (little-endian bit order).  32x less
+    device->host traffic — the transfer, not the probes, dominates the
+    dense pass on tunneled backends.  C must be a multiple of 32 (the
+    chunked driver pads)."""
+    gate, _present, _count, _valid = flag_chunk(seq, df, k, snv, min_threshold)
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    b = gate.reshape(-1, 32).astype(jnp.uint32)
+    return (b << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
+
+
+def flag_contig_gates(
+    seq: np.ndarray,
+    df: bloom.DeviceFilter,
+    snv: bool = False,
+    min_threshold: int = 1,
+    chunk: int = DEFAULT_CHUNK,
+) -> np.ndarray:
+    """Gate head positions for one contig (packed-transfer dense pass)."""
+    k = df.k
+    L = len(seq)
+    n = L - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    pad_total = (-n) % chunk
+    padded = np.concatenate([seq, np.zeros(pad_total, dtype=np.uint8)])
+    words = []
+    for start in range(0, n, chunk):
+        piece = jnp.asarray(padded[start : start + chunk + k - 1])
+        words.append(
+            np.asarray(flag_chunk_packed(piece, df, k, snv, min_threshold))
+        )
+    bits = np.unpackbits(
+        np.concatenate(words).view(np.uint8), bitorder="little"
+    )[:n]
+    return np.nonzero(bits)[0]
+
+
 def flag_contig(
     seq: np.ndarray,
     df: bloom.DeviceFilter,

@@ -63,6 +63,151 @@ class SubRec:
     altsupp3: int = 0
 
 
+class RopeCells:
+    """seqNode rope (the reference's edit structure, ntedit.cpp:613-620)
+    behind a minimal cell-list facade.
+
+    ``nodes`` is a list of ["span", s_pos, e_pos, sup] (a contiguous range
+    of the original contig; the reference's type-0 node) and ["ins", cell]
+    (one inserted character; type-1), where ``cell`` is a mutable
+    [-1, char, support, 0] list whose identity is preserved across
+    __getitem__ so in-place field writes stick.  Span cells are read-only
+    views (their edits go through ``contig``); the one span-cell field
+    write the engine performs (post-deletion support, makeDeletion's record
+    at ntedit.cpp:719-809) goes through set_span_sup, which splits the
+    node.  Construction is O(1) and splices are O(nodes), so a contig pays
+    for its edits, not its length."""
+
+    __slots__ = ("nodes", "_cum", "_len")
+
+    def __init__(self, n: int):
+        self.nodes = [["span", 0, n - 1, 0]] if n else []
+        self._cum = None
+        self._len = n
+
+    # -- index mapping --
+    def _cumlens(self) -> np.ndarray:
+        if self._cum is None:
+            lens = [
+                nd[2] - nd[1] + 1 if nd[0] == "span" else 1 for nd in self.nodes
+            ]
+            self._cum = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(lens, dtype=np.int64)]
+            )
+        return self._cum
+
+    def _locate(self, i: int):
+        cum = self._cumlens()
+        ni = int(np.searchsorted(cum, i, side="right")) - 1
+        return ni, i - int(cum[ni])
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(self._len)
+            return [self[j] for j in range(start, stop, step)]
+        if i < 0:
+            i += self._len
+        if not 0 <= i < self._len:
+            raise IndexError(i)
+        ni, off = self._locate(i)
+        nd = self.nodes[ni]
+        if nd[0] == "span":
+            return [nd[1] + off, 0, 0, nd[3]]
+        return nd[1]
+
+    def __iter__(self):
+        for nd in self.nodes:
+            if nd[0] == "span":
+                for p in range(nd[1], nd[2] + 1):
+                    yield [p, 0, 0, nd[3]]
+            else:
+                yield nd[1]
+
+    # -- structural edits --
+    def _split_at(self, i: int) -> int:
+        """Ensure a node boundary at cell index i; return the index of the
+        node that starts at i (== len(nodes) when i == len(self))."""
+        if i == self._len:
+            return len(self.nodes)
+        ni, off = self._locate(i)
+        if off == 0:
+            return ni
+        nd = self.nodes[ni]  # mid-span (ins nodes have length 1)
+        self.nodes[ni] = ["span", nd[1], nd[1] + off - 1, nd[3]]
+        self.nodes.insert(ni + 1, ["span", nd[1] + off, nd[2], nd[3]])
+        self._cum = None
+        return ni + 1
+
+    def __setitem__(self, i, v):
+        if isinstance(i, slice):
+            start, stop, _ = i.indices(self._len)
+            if start != stop:
+                raise NotImplementedError("rope supports insertion splices only")
+            ni = self._split_at(start)
+            self.nodes[ni:ni] = [["ins", c] for c in v]
+            self._cum = None
+            self._len += len(v)
+            return
+        raise NotImplementedError("single-cell assignment not used by the engine")
+
+    def __delitem__(self, i):
+        if not isinstance(i, slice):
+            i = slice(i, i + 1)
+        start, stop, _ = i.indices(self._len)
+        if start >= stop:
+            return
+        a = self._split_at(start)
+        b = self._split_at(stop)
+        del self.nodes[a:b]
+        self._cum = None
+        self._len -= stop - start
+
+    def walk(self, lo: int, n: int):
+        """Yield cells [lo, lo+n) as (orig, char) pairs in one node walk
+        (no per-index bisection).  orig < 0 marks an inserted cell whose
+        byte is ``char``; span cells yield (orig, -1)."""
+        if n <= 0 or lo >= self._len:
+            return
+        ni, off = self._locate(lo)
+        remaining = min(n, self._len - lo)
+        while remaining > 0 and ni < len(self.nodes):
+            nd = self.nodes[ni]
+            if nd[0] == "span":
+                start = nd[1] + off
+                cnt = min(nd[2] - start + 1, remaining)
+                for p in range(start, start + cnt):
+                    yield (p, -1)
+                remaining -= cnt
+            else:
+                yield (-1, nd[1][CHAR])
+                remaining -= 1
+            ni += 1
+            off = 0
+
+    def set_span_sup(self, i: int, sup: int) -> None:
+        ni = self._split_at(i)
+        nd = self.nodes[ni]
+        if nd[0] == "span":
+            nd[3] = sup
+        else:
+            nd[1][3] = sup
+        # a mid-span split leaves two coordinate-contiguous span nodes; the
+        # writers merge those back into one run, reproducing the cell-list
+        # behavior (a mid-run support write is invisible until a deletion
+        # gap starts a run there)
+
+
+def set_span_sup(cells, idx: int, sup: int) -> None:
+    """Record post-deletion support on the cell at idx (facade-aware)."""
+    if isinstance(cells, RopeCells):
+        cells.set_span_sup(idx, sup)
+    else:
+        cells[idx][SPAN_SUP] = sup
+
+
 @dataclasses.dataclass
 class ContigResult:
     header: str
@@ -72,6 +217,15 @@ class ContigResult:
 
     @property
     def edited(self) -> bytes:
+        nodes = getattr(self.cells, "nodes", None)
+        if nodes is not None:
+            parts = []
+            for nd in nodes:
+                if nd[0] == "span":
+                    parts.append(bytes(self.contig[nd[1] : nd[2] + 1]))
+                else:
+                    parts.append(bytes([nd[1][CHAR]]))
+            return b"".join(parts)
         out = bytearray()
         for c in self.cells:
             out.append(self.contig[c[ORIG]] if c[ORIG] >= 0 else c[CHAR])
@@ -498,7 +652,7 @@ class Oracle:
             del cells[t_idx : t_idx + n_del]
             st[3] = self._seq_of(t_idx)
             if t_idx < len(cells):
-                cells[t_idx][SPAN_SUP] = best["support"]
+                set_span_sup(cells, t_idx, best["support"])
                 new_last = self._char_at(t_idx)
             else:
                 new_last = 0

@@ -57,11 +57,10 @@ class Polisher:
     def gate_positions(self, seq: np.ndarray) -> Optional[np.ndarray]:
         if not self.use_device:
             return None
-        gate, _present, _count, _valid = flag.flag_contig(
+        return flag.flag_contig_gates(
             seq, self.df, snv=self.cfg.snv,
             min_threshold=self.cfg.min_threshold, chunk=self.chunk,
         )
-        return np.nonzero(gate)[0]
 
     def polish_contig(self, header: str, seq: np.ndarray) -> ContigResult:
         hint = self.gate_positions(seq)

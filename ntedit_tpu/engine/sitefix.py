@@ -151,36 +151,53 @@ def subs_batch(oracle, W: np.ndarray, draft_chars: np.ndarray):
     return alts, pre_ok, present
 
 
-def indel_batch(oracle, W: np.ndarray, index_chars: np.ndarray, del_starts: np.ndarray):
+def indel_batch(oracle, W: np.ndarray, index_chars: np.ndarray, del_starts: np.ndarray,
+                los: Optional[np.ndarray] = None, his: Optional[np.ndarray] = None):
     """Insertion + deletion trial supports for N (site, alternate) pairs.
 
     W [N, span]; index_chars [N] (the alternate base anchoring the insertion
     table); del_starts [N] (each pair's current shared deletion counter).
-    Returns (ins_support [N, n_tries], del_support [N, max_d+1] with column
-    d-1 = support of deletion length d, -1 where not tried)."""
+    los/his [N] bound the insertion-string range evaluated per pair
+    ([0, n_tries) by default) — the mode-0 driver stages trials by length
+    because the first qualifying candidate wins by rank and real indels are
+    short.  Deletions are evaluated only for pairs with lo == 0 (they
+    interleave at iteration ranks < 2*n_tries and all fit in stage one).
+    Returns (ins_support [N, n_tries] with -1 outside [lo, hi),
+    del_support [N, max_d+1] with column d-1 = support of deletion length
+    d, -1 where not tried)."""
     cfg = oracle.cfg
     k = cfg.k
     N = W.shape[0]
     n_tries = NUM_TRIES[cfg.max_insertions]
-    ins_support = np.zeros((N, max(n_tries, 1)), dtype=np.int64)
-    if n_tries:
-        width = 2 * k + 4
-        rows = np.zeros((N, n_tries, width), dtype=np.uint8)
-        for n in range(N):
-            ins_list = MULTI_POSSIBLE_BASES[chr(index_chars[n])]
-            w = W[n]
-            for i in range(n_tries):
-                ins = ins_list[i]
-                li = len(ins)
-                rows[n, i, : k - 1] = w[: k - 1]
-                rows[n, i, k - 1 : k - 1 + li] = np.frombuffer(ins.encode(), np.uint8)
-                rows[n, i, k - 1 + li :] = w[k - 1 : k - 1 + width - (k - 1 + li)]
-        contains, solid, _ = _bulk(oracle, rows.reshape(N * n_tries, width))
+    if los is None:
+        los = np.zeros(N, dtype=np.int64)
+    if his is None:
+        his = np.full(N, n_tries, dtype=np.int64)
+    ins_support = np.full((N, max(n_tries, 1)), -1, dtype=np.int64)
+    width = 2 * k + 4
+    irows = []
+    iowners = []
+    for n in range(N):
+        ins_list = MULTI_POSSIBLE_BASES[chr(index_chars[n])]
+        w = W[n]
+        row = np.empty(width, dtype=np.uint8)
+        row[: k - 1] = w[: k - 1]
+        for i in range(int(los[n]), int(his[n])):
+            ins = ins_list[i]
+            li = len(ins)
+            r = row.copy()
+            r[k - 1 : k - 1 + li] = np.frombuffer(ins.encode(), np.uint8)
+            r[k - 1 + li :] = w[k - 1 : k - 1 + width - (k - 1 + li)]
+            irows.append(r)
+            iowners.append((n, i))
+    if irows:
+        contains, solid, _ = _bulk(oracle, np.stack(irows))
         kk = np.arange(k - 1)
         stride = (kk % cfg.jump) == 0
-        ins_support = (
-            (stride[None, :] & contains[:, 1 : k] & solid[:, 1 : k]).sum(1)
-        ).reshape(N, n_tries)
+        sup = (stride[None, :] & contains[:, 1:k] & solid[:, 1:k]).sum(1)
+        rows_n = np.array([o[0] for o in iowners])
+        rows_i = np.array([o[1] for o in iowners])
+        ins_support[rows_n, rows_i] = sup
 
     max_d = cfg.max_deletions
     del_support = np.full((N, max_d + 1), -1, dtype=np.int64)
@@ -188,6 +205,8 @@ def indel_batch(oracle, W: np.ndarray, index_chars: np.ndarray, del_starts: np.n
         drows = []
         owners = []
         for n in range(N):
+            if los[n] != 0:
+                continue
             w = W[n]
             for d in range(int(del_starts[n]), max_d + 1):
                 row = np.empty(2 * k - 1, dtype=np.uint8)
@@ -305,10 +324,26 @@ def decide_site_gen(oracle, w: np.ndarray, draft_char: int, conf: ConfirmResult,
                 if cfg.mode in (0, 1):
                     continue
             if cfg.mode == 2 or best["type"] != 1:
-                ins_sup, del_sup = yield (sub_base, del_state[0])
-                if arbitrate_indels(cfg, ins_sup, del_sup, sub_base, del_state, best, w):
-                    if cfg.mode in (0, 1):
-                        break
+                n_tries = NUM_TRIES[cfg.max_insertions]
+                # mode 0 takes the lowest-ranked qualifying candidate, and
+                # stage-one ranks (insertions of length <= 3, every
+                # deletion) all precede stage-two ranks — so the expensive
+                # long-insertion batch runs only when stage one is empty
+                stage_hi = 21 if (cfg.mode == 0 and n_tries > 21) else n_tries
+                s0 = del_state[0]
+                ins_sup, del_sup = yield (sub_base, s0, 0, stage_hi)
+                found = arbitrate_indels(
+                    cfg, ins_sup, del_sup, sub_base, del_state, best, w
+                )
+                if not found and stage_hi < n_tries:
+                    sup_b, _ = yield (sub_base, s0, stage_hi, n_tries)
+                    merged = np.maximum(ins_sup, sup_b)
+                    del_state[0] = s0  # re-arbitrate from the original counter
+                    found = arbitrate_indels(
+                        cfg, merged, del_sup, sub_base, del_state, best, w
+                    )
+                if found and cfg.mode in (0, 1):
+                    break
     return best
 
 
@@ -318,9 +353,10 @@ def run_decider(oracle, gen, w: np.ndarray):
     try:
         req = gen.send(None)
         while True:
-            index_char, del_start = req
+            index_char, del_start, lo, hi = req
             ins_sup, del_sup = indel_batch(
-                oracle, w[None], np.array([index_char]), np.array([del_start])
+                oracle, w[None], np.array([index_char]), np.array([del_start]),
+                np.array([lo]), np.array([hi]),
             )
             req = gen.send((ins_sup[0], del_sup[0]))
     except StopIteration as stop:

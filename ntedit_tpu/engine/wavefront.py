@@ -43,6 +43,7 @@ from __future__ import annotations
 import numpy as np
 
 from ntedit_tpu.core import nthash_ref as nh
+from ntedit_tpu.engine import oracle as _oracle
 from ntedit_tpu.engine import sitefix
 from ntedit_tpu.engine.oracle import (
     CHAR,
@@ -82,7 +83,7 @@ def polish_contig_wavefront(
     k = cfg.k
     L = len(seq)
     oracle.contig = bytearray(seq)
-    oracle.cells = [[i, 0, 0, 0] for i in range(L)]
+    oracle.cells = _oracle.RopeCells(L)
     oracle.subs = []
     result = ContigResult(header, oracle.contig, oracle.cells, oracle.subs)
 
@@ -91,34 +92,51 @@ def polish_contig_wavefront(
         return result
     pending = [int(g) for g in gate_heads if h0 <= g <= L - k]
     infl = k + cfg.max_deletions  # influence reach of one edit, seq coords
+    span = sitefix.span_for(cfg)
+    any_indel = False  # while False, cell index == seq coordinate everywhere
 
     while pending:
         pending = sorted(set(pending))
         batch = pending[:eval_chunk]
         rest = pending[eval_chunk:]
         new_pending = []
-        deferred_tail = False
 
-        # ---- classify (leaders only get evaluated) ----
-        sites = []  # (cell_idx, h_seq, pristine, leader)
-        last_leader = -(1 << 60)
-        for hc in batch:
-            h_seq = _seq_of(oracle.cells, hc, L)
-            if h_seq + k - 1 >= L:
-                continue  # scan would have terminated before this head
-            if hc + k - 1 >= len(oracle.cells):
-                continue
-            if h_seq > last_leader + infl:
-                last_leader = h_seq
-                sites.append(
-                    (hc, h_seq, sitefix.site_pristine(oracle, hc, h_seq), True)
-                )
-            else:
-                sites.append((hc, h_seq, False, False))
+        # ---- classify: greedy leader per influence window; shadowed
+        # sites are grouped into the segment trailing their leader ----
+        cells_n = len(oracle.cells)
+        leaders = []  # (cell_idx, h_seq, pristine)
+        segs = []     # per leader: shadowed sites that follow it
+        if not any_indel:
+            # identity mapping: vectorized selection, segments as arrays
+            arr = np.asarray(batch, dtype=np.int64)
+            arr = arr[arr + k - 1 < L]
+            p = 0
+            n_arr = len(arr)
+            while p < n_arr:
+                hc = int(arr[p])
+                leaders.append((hc, hc, hc + span <= cells_n))
+                nxt = int(np.searchsorted(arr, hc + infl, side="right"))
+                segs.append(arr[p + 1 : nxt])
+                p = nxt
+        else:
+            last_leader = -(1 << 60)
+            for hc in batch:
+                h_seq = _seq_of(oracle.cells, hc, L)
+                if h_seq + k - 1 >= L:
+                    continue  # scan would have terminated before this head
+                if hc + k - 1 >= cells_n:
+                    continue
+                if h_seq > last_leader + infl:
+                    last_leader = h_seq
+                    leaders.append(
+                        (hc, h_seq, sitefix.site_pristine(oracle, hc, h_seq))
+                    )
+                    segs.append([])
+                else:
+                    segs[-1].append((hc, h_seq))
 
         # ---- evaluate pristine leader sites in batch ----
-        span = sitefix.span_for(cfg)
-        pr = [s for s in sites if s[2]]
+        pr = [s for s in leaders if s[2]]
         decisions = {}
         if pr:
             W = np.stack(
@@ -126,7 +144,7 @@ def polish_contig_wavefront(
                     np.frombuffer(
                         bytes(oracle.contig[h_seq : h_seq + span]), dtype=np.uint8
                     )
-                    for _, h_seq, _, _ in pr
+                    for _, h_seq, _ in pr
                 ]
             )
             draft_chars = np.array(
@@ -158,7 +176,7 @@ def polish_contig_wavefront(
                 alts[need], pre_ok[need], present[need] = sub_a, sub_p, sub_s
             gens = {}
             requests = {}
-            for i, (hc, h_seq, _, _) in enumerate(pr):
+            for i, (hc, h_seq, _) in enumerate(pr):
                 if not conf.gate[i]:
                     # pending was stale: the window itself is live-present
                     decisions[hc] = (int(draft_chars[i]), None)
@@ -178,7 +196,11 @@ def polish_contig_wavefront(
                 sub_w = W[idxs]
                 ics = np.array([requests[i][0] for i in idxs])
                 dss = np.array([requests[i][1] for i in idxs])
-                ins_sup, del_sup = sitefix.indel_batch(oracle, sub_w, ics, dss)
+                los = np.array([requests[i][2] for i in idxs])
+                his = np.array([requests[i][3] for i in idxs])
+                ins_sup, del_sup = sitefix.indel_batch(
+                    oracle, sub_w, ics, dss, los, his
+                )
                 nxt = {}
                 for row, i in enumerate(idxs):
                     try:
@@ -191,67 +213,76 @@ def polish_contig_wavefront(
         delta = 0
         blocked = False
         infl_end = -1  # influence horizon of the last committed edit
-        for hc, h_seq, pristine, leader in sites:
+        for (hc, h_seq, pristine), seg in zip(leaders, segs):
+            committed_skip = False
             if blocked:
-                if h_seq <= infl_end:
-                    continue  # the blocking edit's zone re-flag owns these
-                new_pending.append(hc + delta)
-                continue
-            if h_seq <= infl_end:
+                if h_seq > infl_end:
+                    new_pending.append(hc + delta)
+                committed_skip = True
+            elif h_seq <= infl_end:
                 # inside a committed edit's influence zone: the zone
                 # re-flag already re-derived live gates there; the stale
                 # round-start decision must not commit
-                continue
-            if not leader:
-                # shadowed by a leader that declined to edit: not evaluated
-                # this round — it leads the next one
-                new_pending.append(hc + delta)
-                continue
-            hc_adj = hc + delta
-            st = [
-                hc_adj,
-                h_seq,
-                hc_adj + k - 1,
-                _seq_of(oracle.cells, hc_adj + k - 1, L),
-            ]
-            if pristine:
-                draft_char, best = decisions[hc]
-                if best is None:
-                    continue  # no fix attempted; nothing changes
-                _guard_rollback(oracle, best, st)
-                n_before = len(oracle.cells)
-                _fh, _rh, edited = oracle._make_edit(
-                    draft_char, best, st, np.uint64(0), np.uint64(0)
-                )
-            else:
-                # scalar spec path, evaluated against *current* state
-                window = bytes(_char_at(oracle, i) for i in range(st[0], st[2] + 1))
-                fh = nh.base_forward_hash(window, k)
-                rh = nh.base_reverse_hash(window, k)
-                # live gate re-check (zone-derived sites were gated already,
-                # but state may have changed within the same round)
-                hv = oracle._hashes(fh, rh)
-                gate = (
-                    cfg.snv
-                    or not oracle.bloom.contains(hv)
-                    or (
-                        oracle.bloom.is_counting
-                        and oracle.bloom.get_count(hv) < cfg.min_threshold
+                committed_skip = True
+            if not committed_skip:
+                hc_adj = hc + delta
+                st = [
+                    hc_adj,
+                    h_seq,
+                    hc_adj + k - 1,
+                    _seq_of(oracle.cells, hc_adj + k - 1, L),
+                ]
+                edited = False
+                if pristine:
+                    draft_char, best = decisions[hc]
+                    if best is not None:
+                        _guard_rollback(oracle, best, st)
+                        n_before = len(oracle.cells)
+                        _fh, _rh, edited = oracle._make_edit(
+                            draft_char, best, st, np.uint64(0), np.uint64(0)
+                        )
+                else:
+                    # scalar spec path, evaluated against *current* state
+                    window = bytes(
+                        _char_at(oracle, i) for i in range(st[0], st[2] + 1)
                     )
-                )
-                if not gate:
-                    continue
-                draft_char = _upper(_char_at(oracle, st[2]))
-                n_before = len(oracle.cells)
-                _check_rollback_risk(oracle, st)
-                _fh, _rh, edited = oracle._fix_site(draft_char, st, fh, rh)
-            if edited:
-                delta += len(oracle.cells) - n_before
-                infl_end = h_seq + infl
-                zone_gates, quiet = _reflag_zone(oracle, st, h_seq, infl, L)
-                new_pending.extend(zone_gates)
-                if not quiet:
-                    blocked = True
+                    fh = nh.base_forward_hash(window, k)
+                    rh = nh.base_reverse_hash(window, k)
+                    # live gate re-check (zone-derived sites were gated
+                    # already, but state may have changed within the round)
+                    hv = oracle._hashes(fh, rh)
+                    gate = (
+                        cfg.snv
+                        or not oracle.bloom.contains(hv)
+                        or (
+                            oracle.bloom.is_counting
+                            and oracle.bloom.get_count(hv) < cfg.min_threshold
+                        )
+                    )
+                    if gate:
+                        draft_char = _upper(_char_at(oracle, st[2]))
+                        n_before = len(oracle.cells)
+                        _check_rollback_risk(oracle, st)
+                        _fh, _rh, edited = oracle._fix_site(draft_char, st, fh, rh)
+                if edited:
+                    if len(oracle.cells) != n_before:
+                        any_indel = True
+                    delta += len(oracle.cells) - n_before
+                    infl_end = h_seq + infl
+                    zone_gates, quiet = _reflag_zone(oracle, st, h_seq, infl, L)
+                    new_pending.extend(zone_gates)
+                    if not quiet:
+                        blocked = True
+            # trailing shadowed segment: drop sites a committed edit's zone
+            # re-flag owns; defer the rest (they lead the next round)
+            if isinstance(seg, np.ndarray):
+                keep = seg[seg > infl_end]
+                if len(keep):
+                    new_pending.extend((keep + delta).tolist())
+            else:
+                for shc, shs in seg:
+                    if shs > infl_end:
+                        new_pending.append(shc + delta)
 
         pending = new_pending + [p + delta for p in rest]
     # commits from deferred rounds can land out of scan order; the
@@ -288,24 +319,51 @@ def _reflag_zone(oracle, st, h_seq: int, infl: int, L: int):
     k = cfg.k
     cells = oracle.cells
     gates = []
-    idx = st[0] + 1
+    idx0 = st[0] + 1
     end_seq = h_seq + infl
+    # one rope walk covers the zone heads plus their window tails
+    # (insertions can only add cfg.insertion_cap cells to the zone)
+    max_cells = infl + k + cfg.insertion_cap + 8
+    if isinstance(cells, _oracle.RopeCells):
+        walked = list(cells.walk(idx0, max_cells))
+    else:
+        walked = [
+            (c[0], c[1] if c[0] < 0 else -1)
+            for c in (
+                cells[i] for i in range(idx0, min(idx0 + max_cells, len(cells)))
+            )
+        ]
     heads = []
-    while idx < len(cells):
-        hs = _seq_of(cells, idx, L)
-        if hs > end_seq:
-            break
-        heads.append((idx, hs))
-        idx += 1
+    prev_orig = None
+    seg_chars = []
+    for j, (orig, ch) in enumerate(walked):
+        if orig >= 0:
+            hs = orig
+            prev_orig = orig
+            seg_chars.append(oracle.contig[orig])
+        else:
+            hs = (prev_orig + 1) if prev_orig is not None else _seq_of(
+                cells, idx0 + j, L
+            )
+            seg_chars.append(ch)
+        if hs <= end_seq:
+            heads.append((idx0 + j, hs))
     if not heads:
         return gates, True
-    # heads are consecutive cell indices: one char segment covers all
-    # windows (may include inserted cells)
     n = len(heads)
-    seg_end = min(heads[-1][0] + k, len(cells))
-    seg = np.array(
-        [_char_at(oracle, i) for i in range(heads[0][0], seg_end)], dtype=np.uint8
-    )
+    seg_end = min(heads[-1][0] + k, idx0 + len(walked))
+    seg = np.array(seg_chars[: seg_end - idx0], dtype=np.uint8)
+    # pathological zones (many capped insertion runs) can outgrow the walk
+    want_end = min(heads[-1][0] + k, len(cells))
+    if want_end > seg_end:
+        seg = np.concatenate([
+            seg,
+            np.array(
+                [_char_at(oracle, i) for i in range(seg_end, want_end)],
+                dtype=np.uint8,
+            ),
+        ])
+        seg_end = want_end
     W = np.zeros((n, k), dtype=np.uint8)
     valid = np.ones(n, dtype=bool)
     for i, (hidx, hs) in enumerate(heads):

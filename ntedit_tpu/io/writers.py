@@ -94,6 +94,33 @@ class _Runs:
     def __init__(self, result: ContigResult):
         self.runs = []
         cells = result.cells
+        nodes = getattr(cells, "nodes", None)
+        if nodes is not None:
+            # rope: convert nodes to runs, merging coordinate-contiguous
+            # span nodes (a cell list would show them as one run) and
+            # adjacent inserted cells into one insertion run
+            for nd in nodes:
+                if nd[0] == "span":
+                    if (
+                        self.runs
+                        and self.runs[-1][0] == "span"
+                        and self.runs[-1][2] + 1 == nd[1]
+                    ):
+                        prev = self.runs[-1]
+                        self.runs[-1] = ("span", prev[1], nd[2], prev[3])
+                    else:
+                        self.runs.append(("span", nd[1], nd[2], nd[3]))
+                else:
+                    cell = nd[1]
+                    if self.runs and self.runs[-1][0] == "ins":
+                        prev = self.runs[-1]
+                        self.runs[-1] = (
+                            "ins", prev[1] + bytes([cell[1]]), prev[2] + [cell[2]],
+                            None,
+                        )
+                    else:
+                        self.runs.append(("ins", bytes([cell[1]]), [cell[2]], None))
+            return
         i = 0
         n = len(cells)
         while i < n:
