@@ -44,6 +44,7 @@ from ntedit_tpu.utils import u64
 KMER_BF_SIGNATURE = "[BTLKmerBloomFilter_v6]"
 KMER_CBF_SIGNATURE = "[BTLKmerCountingBloomFilter_v6]"
 BF_SIGNATURE = "[BTLBloomFilter_v6]"
+BLOCKED_BF_SIGNATURE = "[NTPUBlockedKmerBloomFilter_v1]"
 HEADER_END = "[HEADER_END]"
 
 
@@ -180,6 +181,111 @@ class KmerCountingBloomFilter8:
         return cls(data, int(meta["hash_num"]), int(meta["k"]))
 
 
+@dataclasses.dataclass
+class BlockedKmerBloomFilter:
+    """Framework-native register-blocked k-mer Bloom filter.
+
+    TPU-first design: a standard BF costs ``hash_num`` independent HBM
+    gathers per probe (the btllib layout above); on TPU those random
+    gathers dominate the dense flag pass.  Here all ``hash_num`` probe bits
+    of a k-mer live in ONE uint32 word, so a probe is a single gather plus
+    bit tests, and no multi-hash mixing is needed at all: the word index is
+    the low bits of the canonical ntHash value and the bit offsets are
+    disjoint 5-bit fields of its high bits (the canonical hash has 64 well-
+    mixed bits; word+3 offsets consume at most ~37).
+
+    Trade-off vs. the reference's btllib layout: slightly higher FPR at
+    equal size (blocked-BF clustering + possible intra-word offset
+    collisions) — compensate by sizing with ``pow2_size_bytes`` (the next
+    power of two is on average 1.5x the Broder-Mitzenmacher size).  Used
+    for framework-built filters; reference ``.bf`` artifacts keep the
+    btllib layout for bit-identical interop.
+    """
+
+    words: np.ndarray  # uint32 word array, power-of-two length
+    hash_num: int
+    k: int
+    blocked_layout = True  # probe layout marker (see engine fast paths)
+
+    @property
+    def bytes(self) -> int:
+        return self.words.size * 4
+
+    @property
+    def bits(self) -> int:
+        return self.words.size * 32
+
+    @classmethod
+    def zeros(cls, num_bytes: int, hash_num: int, k: int) -> "BlockedKmerBloomFilter":
+        nw = max(1, num_bytes // 4)
+        if nw & (nw - 1):
+            nw = 1 << (nw - 1).bit_length()
+        if hash_num * 5 + nw.bit_length() - 1 > 64:
+            raise ValueError("hash_num too large for blocked layout")
+        return cls(np.zeros(nw, dtype=np.uint32), hash_num, k)
+
+    def _word_mask(self, base: np.ndarray):
+        """canonical hashes [n] uint64 -> (word index [n] int64, probe mask
+        [n] uint32)."""
+        nw = self.words.size
+        wbits = nw.bit_length() - 1
+        widx = (base & np.uint64(nw - 1)).astype(np.int64)
+        mask = np.zeros(len(base), dtype=np.uint32)
+        for j in range(self.hash_num):
+            off = ((base >> np.uint64(wbits + 5 * j)) & np.uint64(31)).astype(np.uint32)
+            mask |= np.uint32(1) << off
+        return widx, mask
+
+    # API compatibility with the btllib-layout classes: the engine hands
+    # extended-hash arrays [n, m]; only column 0 (the canonical hash,
+    # extend_hashes keeps h[0] = base) is consumed here.
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(hashes, dtype=np.uint64)
+        return self.contains_base(h[..., 0].reshape(-1)).reshape(h.shape[:-1])
+
+    def insert_hashes(self, hashes: np.ndarray) -> None:
+        h = np.asarray(hashes, dtype=np.uint64)
+        self.insert_base(h[..., 0].reshape(-1))
+
+    def contains_base(self, base: np.ndarray) -> np.ndarray:
+        widx, mask = self._word_mask(base)
+        return (self.words[widx] & mask) == mask
+
+    def insert_base(self, base: np.ndarray) -> None:
+        widx, mask = self._word_mask(base)
+        np.bitwise_or.at(self.words, widx, mask)
+
+    def insert_seq(self, seq: bytes | np.ndarray) -> None:
+        arr = np.frombuffer(bytes(seq), dtype=np.uint8) if isinstance(seq, (bytes, bytearray)) else seq
+        fh, rh = ref.all_window_hashes(arr, self.k)
+        if len(fh):
+            self.insert_base(ref.canonical(fh, rh))
+
+    def contains_seq_kmers(self, seq: np.ndarray) -> np.ndarray:
+        fh, rh = ref.all_window_hashes(seq, self.k)
+        return self.contains_base(ref.canonical(fh, rh))
+
+    @property
+    def pop_count(self) -> int:
+        return int(np.unpackbits(self.words.view(np.uint8)).sum())
+
+    @property
+    def fpr(self) -> float:
+        return (self.pop_count / self.bits) ** self.hash_num
+
+    def save(self, path: str) -> None:
+        _save(path, BLOCKED_BF_SIGNATURE, self.words.view(np.uint8).copy(),
+              {"bytes": self.bytes, "hash_num": self.hash_num, "k": self.k,
+               "layout": "blocked32"})
+
+    @classmethod
+    def load(cls, path: str) -> "BlockedKmerBloomFilter":
+        sig, meta, data = _load(path)
+        if sig != BLOCKED_BF_SIGNATURE:
+            raise ValueError(f"{path}: not a blocked k-mer Bloom filter ({sig})")
+        return cls(np.array(data).view(np.uint32), int(meta["hash_num"]), int(meta["k"]))
+
+
 def check_file_signature(path: str, signature: str) -> bool:
     """Mirror of btllib check_file_signature (used at ntedit.cpp:357-360)."""
     try:
@@ -247,7 +353,7 @@ class DeviceFilter:
     """
 
     def __init__(self, words, counters, bits: int, cbytes: int, hash_num: int,
-                 k: int, counting: bool):
+                 k: int, counting: bool, blocked: bool = False):
         self.words = words
         self.counters = counters
         self.bits = bits
@@ -255,11 +361,12 @@ class DeviceFilter:
         self.hash_num = hash_num
         self.k = k
         self.counting = counting
+        self.blocked = blocked
         self._bit_div = u64.make_divisor(bits) if bits else None
         self._cnt_div = u64.make_divisor(cbytes) if cbytes else None
 
     def tree_flatten(self):
-        return (self.words, self.counters), (self.bits, self.cbytes, self.hash_num, self.k, self.counting)
+        return (self.words, self.counters), (self.bits, self.cbytes, self.hash_num, self.k, self.counting, self.blocked)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -267,6 +374,9 @@ class DeviceFilter:
 
     @classmethod
     def from_host(cls, bf) -> "DeviceFilter":
+        if isinstance(bf, BlockedKmerBloomFilter):
+            return cls(jnp.asarray(bf.words), None, bf.bits, 0, bf.hash_num,
+                       bf.k, False, blocked=True)
         if isinstance(bf, KmerBloomFilter):
             words = jnp.asarray(_pack_words(bf.data))
             return cls(words, None, bf.bits, 0, bf.hash_num, bf.k, False)
@@ -282,6 +392,8 @@ class DeviceFilter:
         contains(), ntedit.cpp:368-371)."""
         if self.counting:
             return self.count(hashes) > 0
+        if self.blocked:
+            return self._contains_blocked(hashes[0])
         if self.bits > (1 << 36):
             # word index would overflow int32 (XLA:TPU has no int64 gather
             # indices); filters this large are sharded across hosts instead
@@ -295,6 +407,21 @@ class DeviceFilter:
             got = (self.words[w] >> bit) & np.uint32(1)
             ok = got if ok is None else (ok & got)
         return ok == 1
+
+    def _contains_blocked(self, base):
+        """Blocked layout: ONE gather per probe — word index from the low
+        bits of the canonical hash, hash_num 5-bit offsets from its high
+        bits (BlockedKmerBloomFilter layout)."""
+        nw = self.bits // 32
+        wbits = nw.bit_length() - 1
+        if wbits > 31:
+            raise NotImplementedError("single-device blocked filter limited to 2^31 words")
+        widx = (base[1] & np.uint32(nw - 1)).astype(jnp.int32)
+        mask = jnp.zeros_like(base[1])
+        for j in range(self.hash_num):
+            off = u64.shr(base, wbits + 5 * j)[1] & np.uint32(31)
+            mask = mask | (jnp.uint32(1) << off)
+        return (self.words[widx] & mask) == mask
 
     def count(self, hashes: Sequence):
         """-> uint8 counts [...] (min over m slots); 1 for non-counting

@@ -4,18 +4,19 @@ Two computation styles, both bit-identical to ntedit_tpu.core.nthash_ref
 (property-tested):
 
 1. ``window_hashes(seq, k)`` — the *dense pass*: canonical multi-hashes of
-   every k-mer window of a sequence tile, computed with a prefix-XOR scan
-   instead of a sequential roll:
+   every k-mer window of a sequence tile, computed with a doubling
+   sliding-window XOR instead of a sequential roll:
 
-       fh(h) = srol^{h+k-1}( PF[h+k] ^ PF[h] ),  PF prefix-XOR of
-               srol^{-t}(seed(s_t)),
-       rh(h) = srol^{-h}( PR[h+k] ^ PR[h] ),     PR prefix-XOR of
-               srol^{t}(cseed(s_t)).
+       fh(h) = srol^{h+k-1}( XOR_{t=h..h+k-1} srol^{-t}(seed(s_t)) ),
+       rh(h) = srol^{-h}(    XOR_{t=h..h+k-1} srol^{t}(cseed(s_t)) ).
 
-   This replaces the reference's per-base O(1) roll (a loop-carried
-   dependency, /root/reference/ntedit.cpp:1216-1247) with an
-   O(log L)-depth ``associative_scan`` that XLA vectorizes over the VPU —
-   the TPU-native formulation of rolling hashing.
+   The width-k window XOR is built from O(log k) elementwise shifted-XOR
+   passes (D_j[i] = XOR of terms [i, i+2^j); combine the binary digits of
+   k).  This replaces the reference's per-base O(1) roll (a loop-carried
+   dependency, /root/reference/ntedit.cpp:1216-1247) with a constant-depth
+   data-parallel form that the VPU executes at memory bandwidth — and,
+   unlike a full prefix-XOR ``associative_scan``, it lowers to a tiny XLA
+   graph (compile time matters: tiles are large and shapes vary).
 
 2. ``windows_direct(buf, k, offsets)`` — the *repair pass* primitive:
    hashes of explicit small windows of an edit buffer, computed by direct
@@ -60,15 +61,42 @@ _MULTISEED = ref.MULTISEED
 _MULTISHIFT = int(ref.MULTISHIFT)
 
 
+def _sel4(key, pairs, default=np.uint32(0)):
+    """where-chain select of u64-pair constants by per-element key.
+
+    ``pairs`` is [(key_value, np.uint64 constant), ...].  Pure arithmetic —
+    a [256]-table jnp gather per position lowers to an HBM gather on TPU,
+    which dominated the dense pass (~94M gathers/s measured); four compares
+    + selects run at VPU speed instead."""
+    hi = jnp.full(key.shape, default)
+    lo = jnp.full(key.shape, default)
+    for kv, const in pairs:
+        c = int(const)
+        hi = jnp.where(key == kv, np.uint32(c >> 32), hi)
+        lo = jnp.where(key == kv, np.uint32(c & 0xFFFFFFFF), lo)
+    return hi, lo
+
+
 def seed_of(seq):
-    """ASCII bytes [..] -> forward seeds as u64 pair."""
-    idx = jnp.asarray(seq, jnp.int32)
-    return jnp.asarray(SEED_TAB[0])[idx], jnp.asarray(SEED_TAB[1])[idx]
+    """ASCII bytes [..] -> forward seeds as u64 pair.
+
+    Exact SEED_TAB semantics: nonzero only for ACGT/acgt (case-folded via
+    & 0xDF), zero for every other byte."""
+    fold = jnp.asarray(seq, jnp.int32) & 0xDF
+    return _sel4(fold, [
+        (ord("A"), ref.SEED_A), (ord("C"), ref.SEED_C),
+        (ord("G"), ref.SEED_G), (ord("T"), ref.SEED_T),
+    ])
 
 
 def cseed_of(seq):
-    idx = jnp.asarray(seq, jnp.int32)
-    return jnp.asarray(CSEED_TAB[0])[idx], jnp.asarray(CSEED_TAB[1])[idx]
+    """Complement seeds: SEED_TAB[c & 7] for ALL bytes (including btllib's
+    quirky IUPAC aliasing, e.g. 'Y' & 7 == 1 -> SEED_T) — the & 7 slots are
+    1->T, 3->G, 4->A, 7->C, rest zero."""
+    m = jnp.asarray(seq, jnp.int32) & 7
+    return _sel4(m, [
+        (1, ref.SEED_T), (3, ref.SEED_G), (4, ref.SEED_A), (7, ref.SEED_C),
+    ])
 
 
 def canonical(fh, rh):
@@ -93,6 +121,31 @@ def extend(base, k: int, m: int):
     return out
 
 
+def _window_xor(pair, k: int, n: int):
+    """XOR over every width-k window of a u32-pair array [L] -> [n].
+
+    Doubling construction: D_1 = terms; D_2w[i] = D_w[i] ^ D_w[i+w]
+    (length shrinks by w), then the window XOR combines the binary digits
+    of k at staggered offsets.  O(log k) elementwise passes, constant
+    graph depth — no scan."""
+    levels = {1: pair}
+    w = 1
+    while 2 * w <= k:
+        hi, lo = levels[w]
+        levels[2 * w] = (hi[: -w or None] ^ hi[w:], lo[: -w or None] ^ lo[w:])
+        w *= 2
+    acc_hi = acc_lo = None
+    pos = 0
+    for w in sorted(levels, reverse=True):
+        if k & w:
+            hi, lo = levels[w]
+            ph, pl = hi[pos : pos + n], lo[pos : pos + n]
+            acc_hi = ph if acc_hi is None else acc_hi ^ ph
+            acc_lo = pl if acc_lo is None else acc_lo ^ pl
+            pos += w
+    return acc_hi, acc_lo
+
+
 @partial(jax.jit, static_argnames=("k",))
 def window_hashes(seq, k: int):
     """Forward/reverse hashes of every window of ``seq`` (ASCII uint8 [L]).
@@ -107,30 +160,9 @@ def window_hashes(seq, k: int):
     t = jnp.arange(L, dtype=jnp.int32)
     fterms = u64.srol_var(seed_of(seq), (-t) % SROL_PERIOD)
     rterms = u64.srol_var(cseed_of(seq), t % SROL_PERIOD)
-
-    def _xor(a, b):
-        return (a[0] ^ b[0], a[1] ^ b[1])
-
-    pf = jax.lax.associative_scan(_xor, fterms)
-    pr = jax.lax.associative_scan(_xor, rterms)
-    # windowed XOR: PX[h+k-1] ^ PX[h-1]; realize PX[-1] = 0 by shifting.
-    zero = (jnp.zeros((1,), jnp.uint32), jnp.zeros((1,), jnp.uint32))
-
-    def _cat(p):
-        return (
-            jnp.concatenate([zero[0], p[0]]),
-            jnp.concatenate([zero[1], p[1]]),
-        )
-
-    pf = _cat(pf)  # pf[j] = XOR of terms t < j
-    pr = _cat(pr)
     h = jnp.arange(n, dtype=jnp.int32)
-
-    def _win(p):
-        return (p[0][h + k] ^ p[0][h], p[1][h + k] ^ p[1][h])
-
-    fh = u64.srol_var(_win(pf), (h + k - 1) % SROL_PERIOD)
-    rh = u64.srol_var(_win(pr), (-h) % SROL_PERIOD)
+    fh = u64.srol_var(_window_xor(fterms, k, n), (h + k - 1) % SROL_PERIOD)
+    rh = u64.srol_var(_window_xor(rterms, k, n), (-h) % SROL_PERIOD)
     return fh, rh
 
 

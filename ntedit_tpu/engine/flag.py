@@ -39,7 +39,41 @@ for _c in ACCEPTED:
 # numpy constant (not jnp): inline-embedded at lowering, no device fetch
 ACCEPTED_TAB = _ACCEPTED_TAB
 
+# 32-bit membership mask over letter index (c & 0xDF) - 64: bit i set when
+# chr(64 + i) is an accepted base (A..Z fit in bits 1..26)
+_ACCEPTED_MASK = np.uint32(0)
+for _c in ACCEPTED:
+    _ACCEPTED_MASK |= np.uint32(1) << np.uint32(_c - 64)
+
 DEFAULT_CHUNK = 1 << 18
+
+
+def _accepted(seq):
+    """isAcceptedBase (ntedit.cpp:493-499) as arithmetic — a [256]-table
+    gather per position is an HBM gather on TPU; a mask shift is VPU work."""
+    fold = seq.astype(jnp.int32) & 0xDF  # case-fold letters
+    idx = (fold & 31).astype(jnp.uint32)
+    hit = (jnp.uint32(_ACCEPTED_MASK) >> idx) & jnp.uint32(1)
+    return (hit == 1) & (fold >= 65) & (fold <= 90)
+
+
+def _window_all(flags, k: int, n: int):
+    """AND over every width-k window of bool [L] -> [n], by doubling
+    (same O(log k) construction as nthash._window_xor)."""
+    levels = {1: flags}
+    w = 1
+    while 2 * w <= k:
+        f = levels[w]
+        levels[2 * w] = f[: -w or None] & f[w:]
+        w *= 2
+    acc = None
+    pos = 0
+    for w in sorted(levels, reverse=True):
+        if k & w:
+            piece = levels[w][pos : pos + n]
+            acc = piece if acc is None else acc & piece
+            pos += w
+    return acc
 
 
 @partial(jax.jit, static_argnames=("k", "snv", "min_threshold"))
@@ -53,18 +87,18 @@ def flag_chunk(seq, df: bloom.DeviceFilter, k: int, snv: bool, min_threshold: in
       gate    — reference absence gate AND valid
     """
     fh, rh = nt.window_hashes(seq, k)
-    hashes = nt.extend(nt.canonical(fh, rh), k, df.hash_num)
+    can = nt.canonical(fh, rh)
+    # blocked filters consume the canonical hash directly (no multi-hash
+    # mixing needed: the probe word+offsets are bit fields of it)
+    hashes = [can] if df.blocked else nt.extend(can, k, df.hash_num)
     if df.counting:
         count = df.count(hashes)
         present = count > 0
     else:
         present = df.contains(hashes)
         count = jnp.where(present, np.uint8(1), np.uint8(0))
-    acc = jnp.asarray(ACCEPTED_TAB)[seq.astype(jnp.int32)].astype(jnp.int32)
-    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(acc)])
     n = seq.shape[0] - k + 1
-    h = jnp.arange(n, dtype=jnp.int32)
-    valid = (cs[h + k] - cs[h]) == k
+    valid = _window_all(_accepted(seq), k, n)
     gate = jnp.full(n, snv) | ~present
     if df.counting and min_threshold > 1:
         gate = gate | (count < np.uint8(min_threshold))
@@ -85,6 +119,33 @@ def flag_chunk_packed(seq, df: bloom.DeviceFilter, k: int, snv: bool,
     return (b << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
 
 
+@partial(jax.jit, static_argnames=("k", "snv", "min_threshold"))
+def flag_tiles_packed(tiles, df: bloom.DeviceFilter, k: int, snv: bool,
+                      min_threshold: int):
+    """Batched flag_chunk_packed over [T, C + k - 1] tiles in ONE dispatch.
+
+    The chunked driver (flag_contig_gates) previously issued one device
+    call per chunk; on a tunneled TPU backend the per-dispatch round trip
+    dominates the dense pass.  vmapping the whole contig's tiles into a
+    single program removes T-1 round trips.  Returns [T, C/32] packed gate
+    words."""
+    return jax.vmap(
+        lambda s: flag_chunk_packed(s, df, k, snv, min_threshold)
+    )(tiles)
+
+
+def _tile(seq: np.ndarray, n: int, k: int, chunk: int) -> np.ndarray:
+    """[L] draft -> [T, chunk + k - 1] overlapping tiles covering all n
+    window heads (tail zero-padded)."""
+    T = -(-n // chunk)
+    padded = np.zeros(T * chunk + k - 1, dtype=np.uint8)
+    padded[: len(seq)] = seq
+    # overlapping windows: stride_tricks view then copy (device upload
+    # needs contiguous memory anyway)
+    sw = np.lib.stride_tricks.sliding_window_view(padded, chunk + k - 1)
+    return np.ascontiguousarray(sw[::chunk])
+
+
 def flag_contig_gates(
     seq: np.ndarray,
     df: bloom.DeviceFilter,
@@ -92,23 +153,16 @@ def flag_contig_gates(
     min_threshold: int = 1,
     chunk: int = DEFAULT_CHUNK,
 ) -> np.ndarray:
-    """Gate head positions for one contig (packed-transfer dense pass)."""
+    """Gate head positions for one contig (packed-transfer dense pass,
+    single device dispatch)."""
     k = df.k
     L = len(seq)
     n = L - k + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
-    pad_total = (-n) % chunk
-    padded = np.concatenate([seq, np.zeros(pad_total, dtype=np.uint8)])
-    words = []
-    for start in range(0, n, chunk):
-        piece = jnp.asarray(padded[start : start + chunk + k - 1])
-        words.append(
-            np.asarray(flag_chunk_packed(piece, df, k, snv, min_threshold))
-        )
-    bits = np.unpackbits(
-        np.concatenate(words).view(np.uint8), bitorder="little"
-    )[:n]
+    tiles = _tile(seq, n, k, chunk)
+    words = np.asarray(flag_tiles_packed(jnp.asarray(tiles), df, k, snv, min_threshold))
+    bits = np.unpackbits(words.reshape(-1).view(np.uint8), bitorder="little")[:n]
     return np.nonzero(bits)[0]
 
 

@@ -138,7 +138,8 @@ class RopeCells:
         nd = self.nodes[ni]  # mid-span (ins nodes have length 1)
         self.nodes[ni] = ["span", nd[1], nd[1] + off - 1, nd[3]]
         self.nodes.insert(ni + 1, ["span", nd[1] + off, nd[2], nd[3]])
-        self._cum = None
+        if self._cum is not None:  # incremental: one boundary appears
+            self._cum = np.insert(self._cum, ni + 1, self._cum[ni] + off)
         return ni + 1
 
     def __setitem__(self, i, v):
@@ -147,9 +148,14 @@ class RopeCells:
             if start != stop:
                 raise NotImplementedError("rope supports insertion splices only")
             ni = self._split_at(start)
+            m = len(v)
             self.nodes[ni:ni] = [["ins", c] for c in v]
-            self._cum = None
-            self._len += len(v)
+            if self._cum is not None:  # m unit-length boundaries appear
+                cum = self._cum
+                self._cum = np.concatenate(
+                    [cum[: ni + 1], cum[ni] + 1 + np.arange(m), cum[ni + 1 :] + m]
+                )
+            self._len += m
             return
         raise NotImplementedError("single-cell assignment not used by the engine")
 
@@ -162,7 +168,9 @@ class RopeCells:
         a = self._split_at(start)
         b = self._split_at(stop)
         del self.nodes[a:b]
-        self._cum = None
+        if self._cum is not None:
+            cum = self._cum
+            self._cum = np.concatenate([cum[: a + 1], cum[b + 1 :] - (stop - start)])
         self._len -= stop - start
 
     def walk(self, lo: int, n: int):
@@ -187,6 +195,76 @@ class RopeCells:
             ni += 1
             off = 0
 
+    def pristine_run(self, idx: int, n: int):
+        """If cells [idx, idx+n) form one coordinate-contiguous run of
+        ORIGINAL cells, return the run's starting contig coordinate, else
+        None.  O(log nodes + nodes crossed) — the per-cell __getitem__ loop
+        this replaces dominated the wavefront profile."""
+        if idx < 0 or idx + n > self._len:
+            return None
+        ni, off = self._locate(idx)
+        nd = self.nodes[ni]
+        if nd[0] != "span":
+            return None
+        start = nd[1] + off
+        covered = nd[2] - start + 1
+        expect = nd[2] + 1
+        while covered < n:
+            ni += 1
+            nd = self.nodes[ni]
+            if nd[0] != "span" or nd[1] != expect:
+                return None
+            covered += nd[2] - nd[1] + 1
+            expect = nd[2] + 1
+        return start
+
+    def seq_at(self, idx: int, L: int) -> int:
+        """Contig coordinate of cell idx (the _seq_of convention: an
+        original cell maps to its own coordinate; otherwise nearest-
+        previous-original + 1; 0 when no original cell precedes idx)."""
+        if 0 <= idx < self._len:
+            ni, off = self._locate(idx)
+            nd = self.nodes[ni]
+            if nd[0] == "span":
+                return nd[1] + off
+        else:
+            if self._len == 0:
+                return 0
+            ni = len(self.nodes)  # scan back from the last node
+        while ni > 0:
+            ni -= 1
+            nd = self.nodes[ni]
+            if nd[0] == "span":
+                return nd[2] + 1
+        return 0
+
+    def seq_of_many(self, idxs: np.ndarray) -> np.ndarray:
+        """Vectorized seq_at over sorted in-range cell indices."""
+        cum = self._cumlens()
+        arr = np.asarray(idxs, dtype=np.int64)
+        ni = np.searchsorted(cum, arr, side="right") - 1
+        nodes = self.nodes
+        is_span = np.fromiter(
+            (nd[0] == "span" for nd in nodes), dtype=bool, count=len(nodes)
+        )
+        s_pos = np.fromiter(
+            (nd[1] if nd[0] == "span" else 0 for nd in nodes),
+            dtype=np.int64, count=len(nodes),
+        )
+        e_pos = np.fromiter(
+            (nd[2] if nd[0] == "span" else -1 for nd in nodes),
+            dtype=np.int64, count=len(nodes),
+        )
+        # seq value an INSERTED cell in node i maps to: end+1 of the nearest
+        # span node strictly before i (coordinates are monotone along the
+        # rope, so "nearest before" == running max)
+        run = np.maximum.accumulate(np.where(is_span, e_pos + 1, 0))
+        prev_span_end = np.concatenate([[0], run[:-1]])
+        out = np.where(
+            is_span[ni], s_pos[ni] + (arr - cum[ni]), prev_span_end[ni]
+        )
+        return out
+
     def set_span_sup(self, i: int, sup: int) -> None:
         ni = self._split_at(i)
         nd = self.nodes[ni]
@@ -198,6 +276,22 @@ class RopeCells:
         # writers merge those back into one run, reproducing the cell-list
         # behavior (a mid-run support write is invisible until a deletion
         # gap starts a run there)
+
+
+def make_sub_rec(draft_char: int, best: dict, pos: int) -> "SubRec":
+    """Substitution record with ranked-alternate de-duplication
+    (writeEditsToFile record layout, ntedit.cpp:992-1052)."""
+    rec = SubRec(
+        pos=pos, draft_char=draft_char, sub_base=best["sub_base"],
+        num_support=best["support"],
+    )
+    if best["altsupp1"] and best["altbase1"] != best["sub_base"]:
+        rec.altbase1, rec.altsupp1 = best["altbase1"], best["altsupp1"]
+    if best["altsupp2"] and best["altbase2"] != best["altbase1"]:
+        rec.altbase2, rec.altsupp2 = best["altbase2"], best["altsupp2"]
+    if best["altsupp3"] and best["altbase3"] != best["altbase2"]:
+        rec.altbase3, rec.altsupp3 = best["altbase3"], best["altsupp3"]
+    return rec
 
 
 def set_span_sup(cells, idx: int, sup: int) -> None:
@@ -578,10 +672,21 @@ class Oracle:
         return False
 
     # -- edit application --------------------------------------------------
-    def _make_edit(self, draft_char, best, st, fh, rh):
+    def commit_sub_pristine(self, draft_char, best, pos: int) -> None:
+        """Substitution commit at a pristine ORIGINAL cell: record + in-
+        place contig write, no rope lookups (wavefront fast path; same
+        effect as the type-1 branch of _make_edit)."""
+        self.subs.append(make_sub_rec(draft_char, best, pos))
+        self.contig[pos] = best["sub_base"]
+
+    def _make_edit(self, draft_char, best, st, fh, rh, patch_hash=True):
         """makeEdit (ntedit.cpp:1250-1448).  Returns (fh, rh, edited) where
         ``edited`` is True whenever the sequence content or structure
-        changed (substitution/insertion/deletion/rollback/soft-mask)."""
+        changed (substitution/insertion/deletion/rollback/soft-mask).
+
+        ``patch_hash=False`` skips the rolling-hash patching (the wavefront
+        engine re-derives window hashes from content and never consumes the
+        returned pair)."""
         cfg = self.cfg
         cells = self.cells
         t_idx = st[2]
@@ -589,22 +694,13 @@ class Oracle:
         if kind == 1:  # substitution
             cell = cells[t_idx]
             if cell[ORIG] >= 0:
-                rec = SubRec(
-                    pos=st[3], draft_char=draft_char, sub_base=best["sub_base"],
-                    num_support=best["support"],
-                )
-                if best["altsupp1"] and best["altbase1"] != best["sub_base"]:
-                    rec.altbase1, rec.altsupp1 = best["altbase1"], best["altsupp1"]
-                if best["altsupp2"] and best["altbase2"] != best["altbase1"]:
-                    rec.altbase2, rec.altsupp2 = best["altbase2"], best["altsupp2"]
-                if best["altsupp3"] and best["altbase3"] != best["altbase2"]:
-                    rec.altbase3, rec.altsupp3 = best["altbase3"], best["altsupp3"]
-                self.subs.append(rec)
+                self.subs.append(make_sub_rec(draft_char, best, st[3]))
                 self.contig[cell[ORIG]] = best["sub_base"]
             else:
                 cell[CHAR] = best["sub_base"]
-            fh = nh.change_last_forward(fh, draft_char, best["sub_base"])
-            rh = nh.change_last_reverse(rh, cfg.k, draft_char, best["sub_base"])
+            if patch_hash:
+                fh = nh.change_last_forward(fh, draft_char, best["sub_base"])
+                rh = nh.change_last_reverse(rh, cfg.k, draft_char, best["sub_base"])
             # windows with head past the substituted tail are unedited
             self._dirty_hint = st[3] + 1
             return fh, rh, True
@@ -632,7 +728,7 @@ class Oracle:
                     st[2] = run_start
                     st[3] = self._seq_of(run_start)
                     kmer = self._find_accepted_kmer(st)
-                    if kmer is not None:
+                    if kmer is not None and patch_hash:
                         fh = nh.base_forward_hash(kmer, cfg.k)
                         rh = nh.base_reverse_hash(kmer, cfg.k)
                     self._dirty_hint = st[3] + 2 * cfg.k
@@ -641,8 +737,9 @@ class Oracle:
             cells[t_idx:t_idx] = new_cells
             # cursor now sits on the first inserted char (rope keeps
             # t_node_index pointing at it, ntedit.cpp:625-714)
-            fh = nh.change_last_forward(fh, draft_char, ord(indel[0]))
-            rh = nh.change_last_reverse(rh, cfg.k, draft_char, ord(indel[0]))
+            if patch_hash:
+                fh = nh.change_last_forward(fh, draft_char, ord(indel[0]))
+                rh = nh.change_last_reverse(rh, cfg.k, draft_char, ord(indel[0]))
             # inserted cells precede the anchor cell (orig == st[3]); heads
             # from that coordinate on see only original content
             self._dirty_hint = st[3]
@@ -656,8 +753,9 @@ class Oracle:
                 new_last = self._char_at(t_idx)
             else:
                 new_last = 0
-            fh = nh.change_last_forward(fh, draft_char, new_last)
-            rh = nh.change_last_reverse(rh, cfg.k, draft_char, new_last)
+            if patch_hash:
+                fh = nh.change_last_forward(fh, draft_char, new_last)
+                rh = nh.change_last_reverse(rh, cfg.k, draft_char, new_last)
             # post-edit st[3] is the first original coordinate after the
             # junction; windows headed there contain no edited content
             self._dirty_hint = st[3]
@@ -671,8 +769,9 @@ class Oracle:
                 self.contig[cell[ORIG]] = low
             else:
                 cell[CHAR] = low
-            fh = nh.change_last_forward(fh, draft_char, low)
-            rh = nh.change_last_reverse(rh, cfg.k, draft_char, low)
+            if patch_hash:
+                fh = nh.change_last_forward(fh, draft_char, low)
+                rh = nh.change_last_reverse(rh, cfg.k, draft_char, low)
             self._dirty_hint = st[3] + 1
             edited = True
         if cfg.snv and best["altsupp1"]:

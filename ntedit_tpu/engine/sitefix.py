@@ -42,7 +42,9 @@ for _c in ACCEPTED:
 
 
 def span_for(cfg) -> int:
-    return 2 * cfg.k + cfg.max_deletions + 2
+    # 2k window+lookahead, indel slack, +2 guard; the max_insertions term
+    # lets the wavefront precompute post-insertion zone re-flags from W
+    return 2 * cfg.k + cfg.max_deletions + cfg.max_insertions + 2
 
 
 def _bulk(oracle, mat: np.ndarray):
@@ -53,9 +55,14 @@ def _bulk(oracle, mat: np.ndarray):
     k = cfg.k
     fh, rh = nh.batch_window_hashes(mat, k)
     base = nh.canonical(fh, rh)
-    flat = nh.extend_hashes_vec(base.reshape(-1), k, cfg.hash_num)
     shape = base.shape
     bl = oracle.bloom
+    if getattr(bl.bf, "blocked_layout", False) and oracle.bloomrep is None:
+        # blocked filters probe on the canonical hash alone — skip the
+        # multi-hash mixing entirely
+        contains = bl.bf.contains_base(base.reshape(-1)).reshape(shape)
+        return contains, np.ones(shape, dtype=bool), contains.astype(np.uint8)
+    flat = nh.extend_hashes_vec(base.reshape(-1), k, cfg.hash_num)
     if bl.is_counting:
         counts = bl.bf.count_hashes(flat).reshape(shape)
         contains = counts > 0
@@ -134,21 +141,31 @@ def subs_batch(oracle, W: np.ndarray, draft_chars: np.ndarray):
         a = tab.get(chr(draft_chars[s]), "")
         for i, ch in enumerate(a):
             alts[s, i] = ord(ch)
-    n_alt = (alts > 0).sum(1)
-    # build [S*4, 2k] patched rows (padded rows still computed; masked later)
-    rows = np.repeat(W[:, None, : 2 * k], 4, axis=1).reshape(S * 4, 2 * k)
     flat_alts = alts.reshape(-1)
-    live = flat_alts > 0
-    rows[live, k - 1] = flat_alts[live]
-    contains, solid, _ = _bulk(oracle, rows)
-    kk = np.arange(k)
-    stride = (kk % cfg.jump) == 0
-    present = (
-        (stride[None, :] & contains[:, 1 : k + 1] & solid[:, 1 : k + 1]).sum(1)
-    ).reshape(S, 4)
-    pre_ok = (contains[:, 0] & solid[:, 0]).reshape(S, 4)
-    pre_ok[alts == 0] = False
-    return alts, pre_ok, present
+    live_idx = np.nonzero(flat_alts > 0)[0]
+    # phase 1: pre-check just the substituted k-mer itself (contains+solid,
+    # ntedit.cpp:1923-1928) — one window per (site, alt)
+    first = W[live_idx // 4, :k].copy()
+    first[:, k - 1] = flat_alts[live_idx]
+    c0, s0, _ = _bulk(oracle, first)
+    pre_ok = np.zeros(S * 4, dtype=bool)
+    pre_ok[live_idx] = c0[:, 0] & s0[:, 0]
+    # phase 2: the k-roll verify scan only where a trial will actually run
+    # (pre-check passed, or mode 2 which always verifies) — on real drafts
+    # only ~1 of 3 alternates passes the pre-check, so this skips ~2/3 of
+    # the batch hashing
+    need_idx = live_idx if cfg.mode == 2 else np.nonzero(pre_ok)[0]
+    present = np.zeros(S * 4, dtype=np.int64)
+    if len(need_idx):
+        rows = W[need_idx // 4, : 2 * k].copy()
+        rows[:, k - 1] = flat_alts[need_idx]
+        contains, solid, _ = _bulk(oracle, rows)
+        kk = np.arange(k)
+        stride = (kk % cfg.jump) == 0
+        present[need_idx] = (
+            stride[None, :] & contains[:, 1 : k + 1] & solid[:, 1 : k + 1]
+        ).sum(1)
+    return alts, pre_ok.reshape(S, 4), present.reshape(S, 4)
 
 
 def indel_batch(oracle, W: np.ndarray, index_chars: np.ndarray, del_starts: np.ndarray,
@@ -173,58 +190,95 @@ def indel_batch(oracle, W: np.ndarray, index_chars: np.ndarray, del_starts: np.n
         los = np.zeros(N, dtype=np.int64)
     if his is None:
         his = np.full(N, n_tries, dtype=np.int64)
+    los = np.asarray(los, dtype=np.int64)
+    his = np.asarray(his, dtype=np.int64)
+    index_chars = np.asarray(index_chars, dtype=np.uint8)
     ins_support = np.full((N, max(n_tries, 1)), -1, dtype=np.int64)
     width = 2 * k + 4
-    irows = []
-    iowners = []
-    for n in range(N):
-        ins_list = MULTI_POSSIBLE_BASES[chr(index_chars[n])]
-        w = W[n]
-        row = np.empty(width, dtype=np.uint8)
-        row[: k - 1] = w[: k - 1]
-        for i in range(int(los[n]), int(his[n])):
-            ins = ins_list[i]
-            li = len(ins)
-            r = row.copy()
-            r[k - 1 : k - 1 + li] = np.frombuffer(ins.encode(), np.uint8)
-            r[k - 1 + li :] = w[k - 1 : k - 1 + width - (k - 1 + li)]
-            irows.append(r)
-            iowners.append((n, i))
-    if irows:
-        contains, solid, _ = _bulk(oracle, np.stack(irows))
+    counts = np.maximum(his - los, 0)
+    rows_n = np.repeat(np.arange(N), counts)
+    if len(rows_n):
+        rows_i = (
+            np.concatenate([np.arange(lo, hi) for lo, hi in zip(los, his) if hi > lo])
+            if counts.any() else np.zeros(0, dtype=np.int64)
+        )
+        all_rows = np.empty((len(rows_n), width), dtype=np.uint8)
+        row_chars = index_chars[rows_n]
+        for c in b"ACGT":
+            m = row_chars == c
+            if not m.any():
+                continue
+            src, cval = _ins_templates(chr(c), k, n_tries, width)
+            s = np.minimum(src[rows_i[m]], W.shape[1] - 1)
+            cv = cval[rows_i[m]]
+            gathered = np.take_along_axis(W[rows_n[m]], s, axis=1)
+            all_rows[m] = np.where(cv > 0, cv, gathered)
+        contains, solid, _ = _bulk(oracle, all_rows)
         kk = np.arange(k - 1)
         stride = (kk % cfg.jump) == 0
         sup = (stride[None, :] & contains[:, 1:k] & solid[:, 1:k]).sum(1)
-        rows_n = np.array([o[0] for o in iowners])
-        rows_i = np.array([o[1] for o in iowners])
         ins_support[rows_n, rows_i] = sup
 
     max_d = cfg.max_deletions
     del_support = np.full((N, max_d + 1), -1, dtype=np.int64)
     if max_d and n_tries:
-        drows = []
-        owners = []
-        for n in range(N):
-            if los[n] != 0:
-                continue
-            w = W[n]
-            for d in range(int(del_starts[n]), max_d + 1):
-                row = np.empty(2 * k - 1, dtype=np.uint8)
-                row[: k - 1] = w[: k - 1]
-                row[k - 1 :] = w[k - 1 + d : k - 1 + d + k]
-                drows.append(row)
-                owners.append((n, d))
-        if drows:
-            contains, solid, _ = _bulk(oracle, np.stack(drows))
+        dn_mask = los == 0
+        dcounts = np.where(dn_mask, np.maximum(max_d + 1 - del_starts, 0), 0)
+        dn = np.repeat(np.arange(N), dcounts)
+        if len(dn):
+            dd = np.concatenate(
+                [np.arange(int(s), max_d + 1) for n, s in enumerate(del_starts) if dcounts[n] > 0]
+            )
+            src_d = _del_templates(k, max_d)
+            drows = np.take_along_axis(W[dn], src_d[dd - 1], axis=1)
+            contains, solid, _ = _bulk(oracle, drows)
             dkk = np.arange(1, k - 1)
             dstride = (dkk % cfg.jump) == 0
             sup = (
                 (contains[:, 0] & solid[:, 0]).astype(np.int64)
                 + (dstride[None, :] & contains[:, dkk] & solid[:, dkk]).sum(1)
             )
-            for (n, d), v in zip(owners, sup):
-                del_support[n, d - 1] = v
+            del_support[dn, dd - 1] = sup
     return ins_support, del_support
+
+
+_INS_TEMPL: dict = {}
+_DEL_TEMPL: dict = {}
+
+
+def _ins_templates(c: str, k: int, n_tries: int, width: int):
+    """Per-anchor-char gather templates for insertion trial rows:
+    src[i, j] = W column feeding output column j for trial i, and
+    cval[i, j] = the inserted constant byte (0 = take from W)."""
+    key = (c, k, n_tries, width)
+    t = _INS_TEMPL.get(key)
+    if t is None:
+        src = np.zeros((max(n_tries, 1), width), dtype=np.int64)
+        cval = np.zeros((max(n_tries, 1), width), dtype=np.uint8)
+        j = np.arange(width)
+        for i, ins in enumerate(MULTI_POSSIBLE_BASES[c][:n_tries]):
+            li = len(ins)
+            src[i] = np.where(j < k - 1, j, np.maximum(j - li, 0))
+            cval[i, k - 1 : k - 1 + li] = np.frombuffer(ins.encode(), np.uint8)
+        t = _INS_TEMPL[key] = (src, cval)
+    return t
+
+
+def _del_templates(k: int, max_d: int):
+    """src_d[d-1, j]: W column for output column j of the length-d deletion
+    row (W[:k-1] ++ W[k-1+d : k-1+d+k])."""
+    key = (k, max_d)
+    t = _DEL_TEMPL.get(key)
+    if t is None:
+        t = _DEL_TEMPL[key] = np.stack(
+            [
+                np.concatenate(
+                    [np.arange(k - 1), np.arange(k - 1 + d, k - 1 + d + k)]
+                )
+                for d in range(1, max_d + 1)
+            ]
+        )
+    return t
 
 
 def arbitrate_indels(cfg, ins_support, del_support, index_char: int,
@@ -370,6 +424,8 @@ def run_decider(oracle, gen, w: np.ndarray):
 def site_pristine(oracle, h_idx: int, base_seq: int) -> bool:
     cells = oracle.cells
     span = span_for(oracle.cfg)
+    if hasattr(cells, "pristine_run"):
+        return cells.pristine_run(h_idx, span) == base_seq
     if h_idx + span > len(cells):
         return False
     for i in range(span):

@@ -60,6 +60,8 @@ class WavefrontBailout(Exception):
 
 
 def _seq_of(cells, idx: int, L: int) -> int:
+    if isinstance(cells, _oracle.RopeCells):
+        return cells.seq_at(idx, L)
     if idx < len(cells) and cells[idx][ORIG] >= 0:
         return cells[idx][ORIG]
     j = min(idx, len(cells)) - 1
@@ -73,6 +75,17 @@ def _seq_of(cells, idx: int, L: int) -> int:
 def _char_at(oracle, idx: int) -> int:
     c = oracle.cells[idx]
     return oracle.contig[c[ORIG]] if c[ORIG] >= 0 else c[CHAR]
+
+
+def _window_bytes(oracle, lo: int, n: int) -> bytes:
+    """Live cell contents [lo, lo+n) in one rope walk."""
+    cells = oracle.cells
+    if isinstance(cells, _oracle.RopeCells):
+        contig = oracle.contig
+        return bytes(
+            contig[orig] if orig >= 0 else ch for orig, ch in cells.walk(lo, n)
+        )
+    return bytes(_char_at(oracle, i) for i in range(lo, min(lo + n, len(cells))))
 
 
 def polish_contig_wavefront(
@@ -117,6 +130,21 @@ def polish_contig_wavefront(
                 leaders.append((hc, hc, hc + span <= cells_n))
                 nxt = int(np.searchsorted(arr, hc + infl, side="right"))
                 segs.append(arr[p + 1 : nxt])
+                p = nxt
+        elif isinstance(oracle.cells, _oracle.RopeCells):
+            arr = np.asarray(batch, dtype=np.int64)
+            arr = arr[arr + k - 1 < cells_n]
+            seqs = oracle.cells.seq_of_many(arr) if len(arr) else arr
+            keep = seqs + k - 1 < L
+            arr, seqs = arr[keep], seqs[keep]
+            p = 0
+            n_arr = len(arr)
+            while p < n_arr:
+                hc, hs = int(arr[p]), int(seqs[p])
+                leaders.append((hc, hs, sitefix.site_pristine(oracle, hc, hs)))
+                nxt = int(np.searchsorted(seqs, hs + infl, side="right"))
+                segs.append(list(zip(arr[p + 1 : nxt].tolist(),
+                                     seqs[p + 1 : nxt].tolist())))
                 p = nxt
         else:
             last_leader = -(1 << 60)
@@ -209,6 +237,63 @@ def polish_contig_wavefront(
                         decisions[pr[i][0]] = (int(draft_chars[i]), stop.value)
                 requests = nxt
 
+        # ---- precompute zone re-flags for pristine edit decisions in one
+        # batch: an edit at a pristine site leaves the zone content fully
+        # known at evaluation time (original slice with the base patched /
+        # insertion spliced / deletion skipped), so the per-commit live
+        # re-flag — the dominant serial cost — collapses to a lookup.
+        # Safe because leaders are > infl apart: no earlier commit of this
+        # round can touch a later leader's zone content (indels only shift
+        # cell indices, which the commit loop handles via delta). ----
+        zones = {}
+        if pr:
+            zi = [
+                i for i, (hc, _h, _p) in enumerate(pr)
+                if decisions.get(hc, (0, None))[1] is not None
+                and decisions[hc][1]["type"] in (1, 2, 3)
+            ]
+            if zi:
+                max_ins_len = min(cfg.max_insertions, 5)
+                ZW = infl + max_ins_len + k - 1
+                nheads = ZW - k + 1
+                rows = np.full((len(zi), ZW), ord("A"), dtype=np.uint8)
+                J = np.empty(len(zi), dtype=np.int64)
+                for r, i in enumerate(zi):
+                    b = decisions[pr[i][0]][1]
+                    w = W[i]
+                    if b["type"] == 1:
+                        zlen = infl + k - 1
+                        rows[r, :zlen] = w[1 : zlen + 1]
+                        rows[r, k - 2] = b["sub_base"]
+                        J[r] = infl
+                    elif b["type"] == 2:  # insertion: splice before anchor
+                        s = np.frombuffer(b["indel"].encode(), np.uint8)
+                        li = len(s)
+                        zlen = infl + li + k - 1
+                        rows[r, : k - 2] = w[1 : k - 1]
+                        rows[r, k - 2 : k - 2 + li] = s
+                        rows[r, k - 2 + li : zlen] = w[k - 1 : k - 1 + zlen - (k - 2) - li]
+                        J[r] = infl + li
+                    else:  # deletion: skip d bases at the cursor
+                        d = len(b["indel"])
+                        zlen = infl - d + k - 1
+                        rows[r, : k - 2] = w[1 : k - 1]
+                        rows[r, k - 2 : zlen] = w[k - 1 + d : k - 1 + d + zlen - (k - 2)]
+                        J[r] = infl - d
+                zc, _zs, zcnt = sitefix._bulk(oracle, rows)
+                zgate = np.full(zc.shape, cfg.snv) | ~zc
+                if oracle.bloom.is_counting and cfg.min_threshold > 1:
+                    zgate |= zcnt < cfg.min_threshold
+                accw = sitefix._ACC[rows].astype(np.int64)
+                cs = np.cumsum(
+                    np.concatenate([np.zeros((len(zi), 1), np.int64), accw], axis=1),
+                    axis=1,
+                )
+                zgate &= (cs[:, k:] - cs[:, :nheads]) == k
+                zgate &= np.arange(nheads)[None, :] < J[:, None]
+                for r, i in enumerate(zi):
+                    zones[pr[i][0]] = np.nonzero(zgate[r])[0] + 1
+
         # ---- commit left-to-right ----
         delta = 0
         blocked = False
@@ -226,26 +311,32 @@ def polish_contig_wavefront(
                 committed_skip = True
             if not committed_skip:
                 hc_adj = hc + delta
-                st = [
-                    hc_adj,
-                    h_seq,
-                    hc_adj + k - 1,
-                    _seq_of(oracle.cells, hc_adj + k - 1, L),
-                ]
                 edited = False
+                best = None
                 if pristine:
+                    # pristine site: tail cell is the original at h_seq+k-1
+                    st = [hc_adj, h_seq, hc_adj + k - 1, h_seq + k - 1]
                     draft_char, best = decisions[hc]
                     if best is not None:
-                        _guard_rollback(oracle, best, st)
                         n_before = len(oracle.cells)
-                        _fh, _rh, edited = oracle._make_edit(
-                            draft_char, best, st, np.uint64(0), np.uint64(0)
-                        )
+                        if best["type"] == 1:
+                            oracle.commit_sub_pristine(draft_char, best, st[3])
+                            edited = True
+                        else:
+                            _guard_rollback(oracle, best, st)
+                            _fh, _rh, edited = oracle._make_edit(
+                                draft_char, best, st, np.uint64(0), np.uint64(0),
+                                patch_hash=False,
+                            )
                 else:
                     # scalar spec path, evaluated against *current* state
-                    window = bytes(
-                        _char_at(oracle, i) for i in range(st[0], st[2] + 1)
-                    )
+                    st = [
+                        hc_adj,
+                        h_seq,
+                        hc_adj + k - 1,
+                        _seq_of(oracle.cells, hc_adj + k - 1, L),
+                    ]
+                    window = _window_bytes(oracle, st[0], k)
                     fh = nh.base_forward_hash(window, k)
                     rh = nh.base_reverse_hash(window, k)
                     # live gate re-check (zone-derived sites were gated
@@ -269,7 +360,12 @@ def polish_contig_wavefront(
                         any_indel = True
                     delta += len(oracle.cells) - n_before
                     infl_end = h_seq + infl
-                    zone_gates, quiet = _reflag_zone(oracle, st, h_seq, infl, L)
+                    if pristine and best is not None and hc in zones:
+                        offs = zones[hc]
+                        zone_gates = [hc_adj + int(o) for o in offs]
+                        quiet = not zone_gates
+                    else:
+                        zone_gates, quiet = _reflag_zone(oracle, st, h_seq, infl, L)
                     new_pending.extend(zone_gates)
                     if not quiet:
                         blocked = True
