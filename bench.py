@@ -71,10 +71,14 @@ def main():
     warm = pol.gate_positions(draft)
     print(f"# warmup gates: {len(warm)}", file=sys.stderr)
 
-    t1 = time.time()
-    res = pol.polish_contig("ecoli_sim", draft)
-    dt = time.time() - t1
-    n_fixed = sum(1 for a, b in [(len(res.edited), len(truth))])
+    # median of 3: the tunneled device adds multi-hundred-ms jitter per
+    # run; the C++ baseline on the local CPU has no such noise source
+    times = []
+    for _ in range(3):
+        t1 = time.time()
+        res = pol.polish_contig("ecoli_sim", draft)
+        times.append(time.time() - t1)
+    dt = sorted(times)[1]
     correct = res.edited == truth.tobytes()
     bases_per_sec = len(draft) / dt
 

@@ -103,16 +103,20 @@ def polish_contig_wavefront(
     h0 = find_first_accepted_kmer(0, bytes(seq), k)
     if h0 + k - 1 >= L:
         return result
-    pending = [int(g) for g in gate_heads if h0 <= g <= L - k]
+    gh = np.asarray(gate_heads, dtype=np.int64)
+    pending = gh[(gh >= h0) & (gh <= L - k)]
     infl = k + cfg.max_deletions  # influence reach of one edit, seq coords
     span = sitefix.span_for(cfg)
     any_indel = False  # while False, cell index == seq coordinate everywhere
+    carry = {}  # h_seq -> (draft_char, best, zone_offsets): evaluations that
+    #             survived a deferral; valid until an edit's zone covers them
 
-    while pending:
-        pending = sorted(set(pending))
+    while len(pending):
+        pending = np.unique(pending)
         batch = pending[:eval_chunk]
         rest = pending[eval_chunk:]
-        new_pending = []
+        new_pending = []      # list of np.int64 arrays
+        new_single = []       # scalar deferrals
 
         # ---- classify: greedy leader per influence window; shadowed
         # sites are grouped into the segment trailing their leader ----
@@ -123,61 +127,52 @@ def polish_contig_wavefront(
             # identity mapping: vectorized selection, segments as arrays
             arr = np.asarray(batch, dtype=np.int64)
             arr = arr[arr + k - 1 < L]
-            p = 0
-            n_arr = len(arr)
-            while p < n_arr:
-                hc = int(arr[p])
-                leaders.append((hc, hc, hc + span <= cells_n))
-                nxt = int(np.searchsorted(arr, hc + infl, side="right"))
-                segs.append(arr[p + 1 : nxt])
-                p = nxt
-        elif isinstance(oracle.cells, _oracle.RopeCells):
+            seqs = arr
+        else:
             arr = np.asarray(batch, dtype=np.int64)
             arr = arr[arr + k - 1 < cells_n]
             seqs = oracle.cells.seq_of_many(arr) if len(arr) else arr
             keep = seqs + k - 1 < L
             arr, seqs = arr[keep], seqs[keep]
-            p = 0
-            n_arr = len(arr)
-            while p < n_arr:
-                hc, hs = int(arr[p]), int(seqs[p])
-                leaders.append((hc, hs, sitefix.site_pristine(oracle, hc, hs)))
-                nxt = int(np.searchsorted(seqs, hs + infl, side="right"))
-                segs.append(list(zip(arr[p + 1 : nxt].tolist(),
-                                     seqs[p + 1 : nxt].tolist())))
-                p = nxt
-        else:
-            last_leader = -(1 << 60)
-            for hc in batch:
-                h_seq = _seq_of(oracle.cells, hc, L)
-                if h_seq + k - 1 >= L:
-                    continue  # scan would have terminated before this head
-                if hc + k - 1 >= cells_n:
-                    continue
-                if h_seq > last_leader + infl:
-                    last_leader = h_seq
-                    leaders.append(
-                        (hc, h_seq, sitefix.site_pristine(oracle, hc, h_seq))
-                    )
-                    segs.append([])
-                else:
-                    segs[-1].append((hc, h_seq))
+        p = 0
+        n_arr = len(arr)
+        while p < n_arr:
+            hc, hs = int(arr[p]), int(seqs[p])
+            pristine = (
+                hc + span <= cells_n and hc == hs
+                if not any_indel
+                else sitefix.site_pristine(oracle, hc, hs)
+            )
+            leaders.append((hc, hs, pristine))
+            nxt = int(np.searchsorted(seqs, hs + infl, side="right"))
+            segs.append((arr[p + 1 : nxt], seqs[p + 1 : nxt]))
+            p = nxt
 
         # ---- evaluate pristine leader sites in batch ----
-        pr = [s for s in leaders if s[2]]
         decisions = {}
+        zones = {}
+        pr = []
+        for s in leaders:
+            if not s[2]:
+                continue
+            c = carry.get(s[1])
+            if c is not None:
+                # stale-but-valid decision from an earlier round: content
+                # within reach of this site is untouched (invalidation
+                # below drops every key inside a committed edit's zone)
+                decisions[s[0]] = (c[0], c[1])
+                if c[2] is not None:
+                    zones[s[0]] = c[2]
+            else:
+                pr.append(s)
         if pr:
-            W = np.stack(
-                [
-                    np.frombuffer(
-                        bytes(oracle.contig[h_seq : h_seq + span]), dtype=np.uint8
-                    )
-                    for _, h_seq, _ in pr
-                ]
-            )
-            draft_chars = np.array(
-                [_upper(int(W[i, k - 1])) for i in range(len(pr))], dtype=np.uint8
-            )
+            base = np.frombuffer(bytes(oracle.contig), dtype=np.uint8)
+            hseqs = np.fromiter((s[1] for s in pr), dtype=np.int64, count=len(pr))
+            W = base[hseqs[:, None] + np.arange(span)]
+            dc = W[:, k - 1]
+            draft_chars = np.where(
+                (dc >= 97) & (dc <= 122), dc - 32, dc
+            ).astype(np.uint8)
             conf = sitefix.confirm_batch(oracle, W, draft_chars)
             # substitution batching only where a fix will actually be tried
             need = np.zeros(len(pr), dtype=bool)
@@ -245,7 +240,6 @@ def polish_contig_wavefront(
         # Safe because leaders are > infl apart: no earlier commit of this
         # round can touch a later leader's zone content (indels only shift
         # cell indices, which the commit loop handles via delta). ----
-        zones = {}
         if pr:
             zi = [
                 i for i, (hc, _h, _p) in enumerate(pr)
@@ -293,16 +287,21 @@ def polish_contig_wavefront(
                 zgate &= np.arange(nheads)[None, :] < J[:, None]
                 for r, i in enumerate(zi):
                     zones[pr[i][0]] = np.nonzero(zgate[r])[0] + 1
+            for hc, h_seq, _p in pr:
+                if hc in decisions:
+                    dc_, b_ = decisions[hc]
+                    carry[h_seq] = (dc_, b_, zones.get(hc))
 
         # ---- commit left-to-right ----
         delta = 0
         blocked = False
+        edit_hs = []
         infl_end = -1  # influence horizon of the last committed edit
         for (hc, h_seq, pristine), seg in zip(leaders, segs):
             committed_skip = False
             if blocked:
                 if h_seq > infl_end:
-                    new_pending.append(hc + delta)
+                    new_single.append(hc + delta)
                 committed_skip = True
             elif h_seq <= infl_end:
                 # inside a committed edit's influence zone: the zone
@@ -360,27 +359,39 @@ def polish_contig_wavefront(
                         any_indel = True
                     delta += len(oracle.cells) - n_before
                     infl_end = h_seq + infl
+                    edit_hs.append(h_seq)
                     if pristine and best is not None and hc in zones:
-                        offs = zones[hc]
-                        zone_gates = [hc_adj + int(o) for o in offs]
-                        quiet = not zone_gates
+                        zg = zones[hc] + hc_adj
+                        quiet = not len(zg)
                     else:
                         zone_gates, quiet = _reflag_zone(oracle, st, h_seq, infl, L)
-                    new_pending.extend(zone_gates)
+                        zg = np.asarray(zone_gates, dtype=np.int64)
+                    if len(zg):
+                        new_pending.append(zg)
                     if not quiet:
                         blocked = True
             # trailing shadowed segment: drop sites a committed edit's zone
             # re-flag owns; defer the rest (they lead the next round)
-            if isinstance(seg, np.ndarray):
-                keep = seg[seg > infl_end]
-                if len(keep):
-                    new_pending.extend((keep + delta).tolist())
-            else:
-                for shc, shs in seg:
-                    if shs > infl_end:
-                        new_pending.append(shc + delta)
+            shc, shs = seg
+            keep = shs > infl_end
+            if keep.any():
+                new_pending.append(shc[keep] + delta)
 
-        pending = new_pending + [p + delta for p in rest]
+        if edit_hs and carry:
+            E = np.asarray(edit_hs, dtype=np.int64)  # committed left-to-right
+            keys = np.fromiter(carry.keys(), np.int64, len(carry))
+            pos = np.searchsorted(E, keys, side="right") - 1
+            bad = (pos >= 0) & (E[pos] + infl >= keys)
+            for hs in keys[bad]:
+                carry.pop(int(hs), None)
+        if new_single:
+            new_pending.append(np.asarray(new_single, dtype=np.int64))
+        if len(rest):
+            new_pending.append(rest + delta)
+        pending = (
+            np.concatenate(new_pending) if new_pending
+            else np.empty(0, dtype=np.int64)
+        )
     # commits from deferred rounds can land out of scan order; the
     # sequential engine emits records in strictly increasing position
     oracle.subs.sort(key=lambda r: r.pos)
