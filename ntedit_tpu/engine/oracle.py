@@ -47,7 +47,7 @@ INS_SUP = 2  # insertion support (rope char-node num_support)
 SPAN_SUP = 3  # deletion support marker (rope node num_support after a gap)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class SubRec:
     """sRec (ntedit.cpp:598-611)."""
 

@@ -335,6 +335,106 @@ def arbitrate_indels(cfg, ins_support, del_support, index_char: int,
     return True
 
 
+def decide_simple_batch(oracle, conf, draft_chars, alts, pre_ok, present,
+                        attempt):
+    """Vectorized decision replay for sites that will issue NO indel
+    requests — the overwhelmingly common case (an error site's true base
+    passes the pre-check and verifies).  Replays the exact shuffle_best
+    insertion algorithm (ntedit.cpp:2008-2056) across all S sites at once,
+    sequentially over the <=4 alternates.
+
+    Returns (simple [S] bool, bests) where bests[i] is the finished best
+    dict for simple sites with attempt (None entries elsewhere).  Sites
+    with simple[i] False must go through the generator path."""
+    cfg = oracle.cfg
+    S = len(draft_chars)
+    live = alts > 0
+    if cfg.mode == 2:
+        qual = live & (present >= cfg.present_needed)
+    else:
+        qual = pre_ok & (present >= cfg.present_needed)
+    n_tries = NUM_TRIES[cfg.max_insertions]
+    no_indel_cfg = n_tries == 0 and cfg.max_deletions == 0
+    if no_indel_cfg:
+        simple = np.ones(S, dtype=bool)
+    elif cfg.mode == 2:
+        simple = np.zeros(S, dtype=bool)  # mode 2 always tries indels
+    else:
+        prev_qual = np.zeros((S, 4), dtype=bool)
+        prev_qual[:, 1:] = np.cumsum(qual, axis=1)[:, :3] > 0
+        # an alt that passed the pre-check but failed verify, before any
+        # qualifying substitution, triggers tryIndels (ntedit.cpp:2065-2090)
+        simple = ~(pre_ok & ~qual & ~prev_qual).any(axis=1)
+    simple = simple & attempt
+    if not simple.any():
+        return simple, [None] * S
+
+    typ = np.zeros(S, dtype=np.int64)
+    sub = np.zeros(S, dtype=np.int64)
+    sup = np.zeros(S, dtype=np.int64)
+    ab = np.zeros((3, S), dtype=np.int64)
+    asup = np.zeros((3, S), dtype=np.int64)
+    if cfg.snv:
+        base_ok = conf.check_there >= cfg.present_needed
+        bsup = (
+            conf.there_median if oracle.bloom.is_counting else conf.check_there
+        ).astype(np.int64)
+        sub = np.where(base_ok, draft_chars.astype(np.int64), sub)
+        sup = np.where(base_ok, bsup, sup)
+
+    for a in range(4):
+        m = simple & qual[:, a]
+        if not m.any():
+            continue
+        p = present[:, a]
+        alt = alts[:, a].astype(np.int64)
+        ge = m & (p >= sup)
+        # snapshot, then cascade (shuffle_best's displacement order)
+        o_sub, o_sup = sub.copy(), sup.copy()
+        o_ab1, o_as1 = ab[0].copy(), asup[0].copy()
+        o_ab2, o_as2 = ab[1].copy(), asup[1].copy()
+        c3 = ge & (o_as2 > 0)
+        ab[2] = np.where(c3, o_ab2, ab[2]); asup[2] = np.where(c3, o_as2, asup[2])
+        c2 = ge & (o_as1 > 0)
+        ab[1] = np.where(c2, o_ab1, ab[1]); asup[1] = np.where(c2, o_as1, asup[1])
+        c1 = ge & (o_sup > 0)
+        ab[0] = np.where(c1, o_sub, ab[0]); asup[0] = np.where(c1, o_sup, asup[0])
+        typ = np.where(ge, 1, typ)
+        sub = np.where(ge, alt, sub)
+        sup = np.where(ge, p, sup)
+        # the below-best insertion branches
+        lt = m & ~ge
+        no1 = lt & (o_as1 == 0)
+        ab[0] = np.where(no1, alt, ab[0]); asup[0] = np.where(no1, p, asup[0])
+        slot2 = lt & (o_as1 > 0) & (o_as2 == 0)
+        s2lo = slot2 & (p < o_as1)
+        ab[1] = np.where(s2lo, alt, ab[1]); asup[1] = np.where(s2lo, p, asup[1])
+        s2hi = slot2 & ~s2lo
+        ab[1] = np.where(s2hi, o_ab1, ab[1]); asup[1] = np.where(s2hi, o_as1, asup[1])
+        ab[0] = np.where(s2hi, alt, ab[0]); asup[0] = np.where(s2hi, p, asup[0])
+        slot3 = lt & (o_as1 > 0) & (o_as2 > 0) & (asup[2] == 0) & ~c3
+        s3lo = slot3 & (p < o_as2)
+        ab[2] = np.where(s3lo, alt, ab[2]); asup[2] = np.where(s3lo, p, asup[2])
+        s3mid = slot3 & ~s3lo & (p < o_as1)
+        ab[2] = np.where(s3mid, o_ab2, ab[2]); asup[2] = np.where(s3mid, o_as2, asup[2])
+        ab[1] = np.where(s3mid, alt, ab[1]); asup[1] = np.where(s3mid, p, asup[1])
+        s3hi = slot3 & ~s3lo & ~s3mid
+        ab[2] = np.where(s3hi, o_ab2, ab[2]); asup[2] = np.where(s3hi, o_as2, asup[2])
+        ab[1] = np.where(s3hi, o_ab1, ab[1]); asup[1] = np.where(s3hi, o_as1, asup[1])
+        ab[0] = np.where(s3hi, alt, ab[0]); asup[0] = np.where(s3hi, p, asup[0])
+
+    bests = [None] * S
+    for i in np.nonzero(simple)[0]:
+        bests[i] = dict(
+            type=int(typ[i]), sub_base=int(sub[i]), indel="", alt_indel="",
+            support=int(sup[i]),
+            altbase1=int(ab[0][i]), altsupp1=int(asup[0][i]),
+            altbase2=int(ab[1][i]), altsupp2=int(asup[1][i]),
+            altbase3=int(ab[2][i]), altsupp3=int(asup[2][i]),
+        )
+    return simple, bests
+
+
 def empty_best() -> dict:
     return dict(
         type=0, sub_base=0, indel="", alt_indel="", support=0,

@@ -197,12 +197,22 @@ def polish_contig_wavefront(
                     oracle, W[need], draft_chars[need]
                 )
                 alts[need], pre_ok[need], present[need] = sub_a, sub_p, sub_s
+            simple, simple_bests = sitefix.decide_simple_batch(
+                oracle, conf, draft_chars, alts, pre_ok, present,
+                need & conf.gate,
+            )
             gens = {}
             requests = {}
             for i, (hc, h_seq, _) in enumerate(pr):
                 if not conf.gate[i]:
                     # pending was stale: the window itself is live-present
                     decisions[hc] = (int(draft_chars[i]), None)
+                    continue
+                if not need[i]:
+                    decisions[hc] = (int(draft_chars[i]), None)
+                    continue
+                if simple[i]:
+                    decisions[hc] = (int(draft_chars[i]), simple_bests[i])
                     continue
                 g = sitefix.decide_site_gen(
                     oracle, W[i], int(draft_chars[i]), conf, i,
@@ -252,15 +262,25 @@ def polish_contig_wavefront(
                 nheads = ZW - k + 1
                 rows = np.full((len(zi), ZW), ord("A"), dtype=np.uint8)
                 J = np.empty(len(zi), dtype=np.int64)
+                # substitutions (the vast majority): one vectorized pass
+                types = np.fromiter(
+                    (decisions[pr[i][0]][1]["type"] for i in zi),
+                    dtype=np.int64, count=len(zi),
+                )
+                sub_r = np.nonzero(types == 1)[0]
+                if len(sub_r):
+                    zlen = infl + k - 1
+                    rows[sub_r, :zlen] = W[[zi[r] for r in sub_r], 1 : zlen + 1]
+                    rows[sub_r, k - 2] = [
+                        decisions[pr[zi[r]][0]][1]["sub_base"] for r in sub_r
+                    ]
+                    J[sub_r] = infl
                 for r, i in enumerate(zi):
+                    if types[r] == 1:
+                        continue
                     b = decisions[pr[i][0]][1]
                     w = W[i]
-                    if b["type"] == 1:
-                        zlen = infl + k - 1
-                        rows[r, :zlen] = w[1 : zlen + 1]
-                        rows[r, k - 2] = b["sub_base"]
-                        J[r] = infl
-                    elif b["type"] == 2:  # insertion: splice before anchor
+                    if b["type"] == 2:  # insertion: splice before anchor
                         s = np.frombuffer(b["indel"].encode(), np.uint8)
                         li = len(s)
                         zlen = infl + li + k - 1
