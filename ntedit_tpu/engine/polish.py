@@ -57,6 +57,14 @@ class Polisher:
     def gate_positions(self, seq: np.ndarray) -> Optional[np.ndarray]:
         if not self.use_device:
             return None
+        if self.df.blocked and self.cfg.min_threshold <= 1:
+            # fused Pallas prep kernel (hash + probe coords + validity in
+            # one VMEM pass); the XLA path covers btllib-layout/CBF filters
+            from ntedit_tpu.ops import flag_kernel
+
+            return flag_kernel.flag_contig_gates_pallas(
+                seq, self.df, snv=self.cfg.snv
+            )
         return flag.flag_contig_gates(
             seq, self.df, snv=self.cfg.snv,
             min_threshold=self.cfg.min_threshold, chunk=self.chunk,

@@ -185,8 +185,9 @@ def srol_var(a, d):
         n_small = jnp.where(big, n - np.uint32(32), n)
         # n in [0,31] now
         lo_sh = lo << n_small
+        n1 = jnp.where(n_small > 0, n_small, _ONE)  # avoid maxui: Mosaic
         hi_sh = (hi << n_small) | jnp.where(
-            n_small > 0, lo >> (np.uint32(32) - jnp.maximum(n_small, _ONE)), jnp.zeros_like(lo)
+            n_small > 0, lo >> (np.uint32(32) - n1), jnp.zeros_like(lo)
         )
         hi_out = jnp.where(big, lo_sh, hi_sh)
         lo_out = jnp.where(big, jnp.zeros_like(lo), lo_sh)
@@ -197,10 +198,12 @@ def srol_var(a, d):
         big = n >= np.uint32(32)
         n_small = jnp.where(big, n - np.uint32(32), n)
         hi_sh = hi >> n_small
+        n1 = jnp.where(n_small > 0, n_small, _ONE)
         lo_sh = (lo >> n_small) | jnp.where(
-            n_small > 0, hi << (np.uint32(32) - jnp.maximum(n_small, _ONE)), jnp.zeros_like(hi)
+            n_small > 0, hi << (np.uint32(32) - n1), jnp.zeros_like(hi)
         )
-        lo_out = jnp.where(big, hi >> jnp.minimum(n_small, np.uint32(31)), lo_sh)
+        n31 = jnp.where(n_small < np.uint32(31), n_small, np.uint32(31))
+        lo_out = jnp.where(big, hi >> n31, lo_sh)
         lo_out = jnp.where(big & (n_small >= np.uint32(32)), jnp.zeros_like(lo), lo_out)
         hi_out = jnp.where(big, jnp.zeros_like(hi), hi_sh)
         return hi_out, lo_out
@@ -213,7 +216,8 @@ def srol_var(a, d):
     nlo = jnp.where(sh == 0, lo, nlo)
     # 31-bit rotate by d31
     inv31 = np.uint32(SPLIT_HIGH_BITS) - d31
-    np31 = ((p31 << d31) | (p31 >> jnp.minimum(inv31, np.uint32(31)))) & np.uint32(0x7FFFFFFF)
+    inv31c = jnp.where(inv31 < np.uint32(31), inv31, np.uint32(31))
+    np31 = ((p31 << d31) | (p31 >> inv31c)) & np.uint32(0x7FFFFFFF)
     np31 = jnp.where(d31 == 0, p31, np31)
     return _join(nb32, nlo, np31)
 
