@@ -132,6 +132,40 @@ def sharded_bf_build(mesh: Mesh, read_shards: np.ndarray, k: int, hash_num: int,
     return jax.jit(step)(read_shards)
 
 
+def build_cbf_counts(seqs, k: int, hash_num: int, nslots_pow2: int) -> jnp.ndarray:
+    """Device-local counting-filter build: saturating 8-bit counters over
+    every k-mer of every row (btllib KmerCountingBloomFilter8 semantics:
+    all hash_num slots +1 per insert, saturate at 255)."""
+    mask = np.uint32(nslots_pow2 - 1)
+    assert nslots_pow2 & (nslots_pow2 - 1) == 0
+
+    def per_row(row):
+        fh, rh = nt.window_hashes(row, k)
+        hashes = nt.extend(nt.canonical(fh, rh), k, hash_num)
+        return jnp.stack([(h[1] & mask).astype(jnp.int32) for h in hashes], -1)
+
+    idx = jax.vmap(per_row)(seqs).reshape(-1)
+    counts = jnp.zeros((nslots_pow2,), jnp.int32).at[idx].add(1)
+    return jnp.minimum(counts, 255).astype(jnp.uint8)
+
+
+def sharded_cbf_build(mesh: Mesh, read_shards: np.ndarray, k: int,
+                      hash_num: int, nslots_pow2: int) -> jnp.ndarray:
+    """Data-parallel counting-filter construction: per-device partial
+    counters merged with the saturating-add allreduce."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=P("d"), out_specs=P(),
+        check_vma=False,
+    )
+    def step(shard):
+        counts = build_cbf_counts(shard, k, hash_num, nslots_pow2)
+        return saturating_add_allreduce(counts, "d")
+
+    return jax.jit(step)(read_shards)
+
+
 # ---------------------------------------------------------------------------
 # Sharded dense flag pass
 # ---------------------------------------------------------------------------
@@ -157,6 +191,39 @@ def sharded_flag(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray, *, k: int,
         return jax.vmap(lambda t: per_tile(t, w))(tile_shard)
 
     return jax.jit(step)(tiles, words)
+
+
+def sharded_confirm(mesh: Mesh, W: np.ndarray, words: jnp.ndarray, *, k: int,
+                    jump: int, hash_num: int, nbits: int):
+    """Sharded flagged-site confirmation: the subset-missing scan
+    (ntedit.cpp:1820-1873) batched over candidate sites and sharded across
+    the mesh — the repair pass's verify compute as a mesh collective-free
+    data-parallel stage.
+
+    W: [S, 2k] site windows (S divisible by mesh size), filter words
+    replicated.  Returns (check_missing [S], gate [S]) on host.
+    """
+    stride = np.arange(k) % jump == 0
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("d", None), P()), out_specs=(P("d"), P("d")),
+        check_vma=False,
+    )
+    def step(rows, w):
+        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
+
+        def per_row(row):
+            fh, rh = nt.window_hashes(row, k)
+            hashes = nt.extend(nt.canonical(fh, rh), k, df.hash_num)
+            present = df.contains(hashes)
+            gate = ~present[0]
+            miss = (~present[1 : k + 1]) & jnp.asarray(stride)
+            return miss.sum(dtype=jnp.int32), gate
+
+        return jax.vmap(per_row)(rows)
+
+    return jax.jit(step)(W, words)
 
 
 def tile_contig(seq: np.ndarray, chunk: int, k: int, n_tiles_multiple: int = 1):
