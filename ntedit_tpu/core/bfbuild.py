@@ -32,6 +32,7 @@ and the >=cutoff test has no false negatives.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterable, Optional, Sequence
 
 import numpy as np
@@ -66,9 +67,34 @@ def _iter_seqs(paths: Sequence[str]) -> Iterable[np.ndarray]:
 _FLUSH = 1 << 22  # base hashes buffered before one vectorized insert
 
 
+def _separated(seq_bytes: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Concatenate records with a single 0x00 separator byte between them:
+    the separator is non-ACGT, so the validity mask of one whole-buffer
+    hash pass automatically rejects windows straddling record
+    boundaries."""
+    lens = np.diff(offs)
+    out = np.zeros(len(seq_bytes) + len(lens), dtype=np.uint8)
+    shift = np.repeat(np.arange(len(lens)), lens)
+    out[np.arange(len(seq_bytes)) + shift] = seq_bytes
+    return out
+
+
 def _iter_hash_batches(paths: Sequence[str], k: int) -> Iterable[np.ndarray]:
-    """Canonical base hashes of all valid k-mers, in ~_FLUSH-sized
-    batches (amortizes the vectorized scatter over many records)."""
+    """Canonical base hashes of all valid k-mers, in large batches.
+
+    With the native batch reader, each multi-megabyte record batch is
+    hashed in ONE vectorized pass over the separator-joined buffer
+    (per-read numpy calls are what make short-read FASTQ hashing slow);
+    otherwise falls back to per-record hashing with flush batching."""
+    from ntedit_tpu.io import native
+
+    if native.get_lib() is not None:
+        for p in paths:
+            for seq_bytes, offs, _h, _q in native.read_batches(p, want_headers=False):
+                h = valid_canonical_hashes(_separated(seq_bytes, offs), k)
+                if len(h):
+                    yield h
+        return
     buf: list[np.ndarray] = []
     n = 0
     for seq in _iter_seqs(paths):
@@ -81,6 +107,210 @@ def _iter_hash_batches(paths: Sequence[str], k: int) -> Iterable[np.ndarray]:
             buf, n = [], 0
     if buf:
         yield np.concatenate(buf)
+
+
+# ---------------------------------------------------------------------------
+# Device-side filter construction (ntStat's hot path on the TPU)
+# ---------------------------------------------------------------------------
+
+_DEV_BATCH = 1 << 24  # bases per device batch
+
+
+def _device_backend_ok() -> bool:
+    if os.environ.get("NTEDIT_TPU_DEVICE_BUILD", "auto") == "0":
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform != "cpu" or (
+            os.environ.get("NTEDIT_TPU_DEVICE_BUILD") == "1"
+        )
+    except Exception:
+        return False
+
+
+class DeviceFilterBuilder:
+    """Streaming on-device k-mer counting + threshold insertion.
+
+    Replaces the ntStat filter stage's hot loop (SURVEY.md §2.2): each
+    separator-joined record batch is uploaded once; canonical hashing,
+    validity masking, count-min updates, and threshold-gated insertion all
+    run on the TPU.  Only the finished filter array is downloaded.  The
+    blocked layout (bloom.BlockedKmerBloomFilter) keeps insertion to one
+    scatter per bit.
+    """
+
+    def __init__(self, k: int, hash_num: int, nbits_pow2: int, cbf_slots_pow2: int):
+        import jax
+        import jax.numpy as jnp
+
+        self.k = k
+        self.hash_num = hash_num
+        self.nbits = nbits_pow2
+        self.slots = cbf_slots_pow2
+        self._jnp = jnp
+        self._jax = jax
+        self.counters = jnp.zeros((cbf_slots_pow2,), jnp.int32)
+        # blocked filter held as byte-per-bit during build; packed at the end
+        self.bitbytes = jnp.zeros((nbits_pow2,), jnp.uint8)
+        self._count_fns = {}
+        self._insert_fns = {}
+
+    # -- jit stage builders (specialized per padded batch length) --
+    def _hashes(self, buf):
+        from ntedit_tpu.core import nthash as nt
+
+        k = self.k
+        fh, rh = nt.window_hashes.__wrapped__(buf, k)
+        from ntedit_tpu.utils import u64 as u64m
+
+        can = u64m.min_(fh, rh)
+        from ntedit_tpu.engine import flag as flagm
+
+        n = buf.shape[0] - k + 1
+        acgt = (
+            (buf == ord("A")) | (buf == ord("C")) | (buf == ord("G"))
+            | (buf == ord("T")) | (buf == ord("a")) | (buf == ord("c"))
+            | (buf == ord("g")) | (buf == ord("t"))
+        )
+        valid = flagm._window_all(acgt, k, n)
+        return can, valid
+
+    def _count_fn(self, L: int):
+        fn = self._count_fns.get(L)
+        if fn is None:
+            jax, jnp = self._jax, self._jnp
+            slots = self.slots
+
+            def step(buf, counters):
+                can, valid = self._hashes(buf)
+                idxs = []
+                for j in range(self.hash_num):
+                    h = can if j == 0 else _mix_pair(can, j, self.k)
+                    idx = (h[1] & np.uint32(slots - 1)).astype(jnp.int32)
+                    # invalid windows all hit slot capacity-1 sentinel? no:
+                    # route them to a dedicated overflow slot 0 and subtract
+                    idxs.append(jnp.where(valid, idx, -1))
+                upd = jnp.zeros((slots,), jnp.int32)
+                for idx in idxs:
+                    upd = upd.at[jnp.where(idx >= 0, idx, 0)].add(
+                        jnp.where(idx >= 0, 1, 0)
+                    )
+                return jnp.minimum(counters + jnp.minimum(upd, 255), 255)
+
+            fn = self._count_fns[L] = jax.jit(step, donate_argnums=(1,))
+        return fn
+
+    def _insert_fn(self, L: int, cutoff: int):
+        key = (L, cutoff)
+        fn = self._insert_fns.get(key)
+        if fn is None:
+            jax, jnp = self._jax, self._jnp
+            slots, nbits = self.slots, self.nbits
+            nw = nbits // 32
+            wbits = nw.bit_length() - 1
+
+            def step(buf, counters, bitbytes):
+                can, valid = self._hashes(buf)
+                from ntedit_tpu.utils import u64 as u64m
+
+                if cutoff > 1:
+                    cnt = None
+                    for j in range(self.hash_num):
+                        h = can if j == 0 else _mix_pair(can, j, self.k)
+                        idx = (h[1] & np.uint32(slots - 1)).astype(jnp.int32)
+                        got = counters[idx]
+                        cnt = got if cnt is None else jnp.minimum(cnt, got)
+                    ok = valid & (cnt >= cutoff)
+                else:
+                    ok = valid
+                # blocked layout: bit index = word<<5 | offset_j
+                widx = (can[1] & np.uint32(nw - 1)).astype(jnp.int32)
+                for j in range(self.hash_num):
+                    off = u64m.shr(can, wbits + 5 * j)[1] & np.uint32(31)
+                    bidx = (widx << 5) | off.astype(jnp.int32)
+                    bitbytes = bitbytes.at[jnp.where(ok, bidx, 0)].max(
+                        jnp.where(ok, np.uint8(1), np.uint8(0))
+                    )
+                return bitbytes
+
+            fn = self._insert_fns[key] = jax.jit(step, donate_argnums=(2,))
+        return fn
+
+    def count_batch(self, buf_padded: np.ndarray) -> None:
+        self.counters = self._count_fn(len(buf_padded))(
+            self._jnp.asarray(buf_padded), self.counters
+        )
+
+    def insert_batch(self, buf_padded: np.ndarray, cutoff: int) -> None:
+        self.bitbytes = self._insert_fn(len(buf_padded), cutoff)(
+            self._jnp.asarray(buf_padded), self.counters, self.bitbytes
+        )
+
+    def finish(self) -> "bloom.BlockedKmerBloomFilter":
+        jnp = self._jnp
+        b = self.bitbytes.reshape(-1, 32).astype(jnp.uint32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        words = np.asarray((b << shifts).sum(axis=1, dtype=jnp.uint32))
+        return bloom.BlockedKmerBloomFilter(words, self.hash_num, self.k)
+
+
+def _mix_pair(can, i: int, k: int):
+    """extend_hashes mixing on a u32 pair (device)."""
+    import jax.numpy as jnp
+
+    from ntedit_tpu.core import nthash_ref as _ref
+    from ntedit_tpu.utils import u64 as u64m
+
+    mult = (i ^ (k * int(_ref.MULTISEED))) & 0xFFFFFFFFFFFFFFFF
+    mp = (
+        jnp.full_like(can[0], np.uint32(mult >> 32)),
+        jnp.full_like(can[1], np.uint32(mult & 0xFFFFFFFF)),
+    )
+    t = u64m.mul_lo(can, mp)
+    return u64m.xor(t, u64m.shr(t, int(_ref.MULTISHIFT)))
+
+
+def _iter_separated_buffers(paths: Sequence[str], k: int,
+                            pad_to: int = _DEV_BATCH):
+    """Separator-joined record buffers padded to bucket sizes (pow2 steps
+    down from _DEV_BATCH) so device stages compile a bounded set of
+    shapes.  Separator/pad byte 0x00 is non-ACGT: straddle windows are
+    masked by validity.  Long buffers are split with exactly k-1 bytes of
+    overlap so every window is covered exactly once (count-min updates
+    must not double-count)."""
+    from ntedit_tpu.io import native
+
+    def bucket(n: int) -> int:
+        b = 1 << 12
+        while b < n:
+            b <<= 1
+        return min(b, pad_to)
+
+    def emit_all(buf: np.ndarray):
+        step = pad_to - (k - 1)
+        for s in range(0, max(1, len(buf) - (k - 1)), step):
+            piece = buf[s : s + pad_to]
+            out = np.zeros(bucket(len(piece)), dtype=np.uint8)
+            out[: len(piece)] = piece
+            yield out
+
+    if native.get_lib() is not None:
+        for p in paths:
+            for seq_bytes, offs, _h, _q in native.read_batches(p, want_headers=False):
+                yield from emit_all(_separated(seq_bytes, offs))
+        return
+    pend: list[np.ndarray] = []
+    n = 0
+    for seq in _iter_seqs(paths):
+        pend.append(seq)
+        pend.append(np.zeros(1, np.uint8))
+        n += len(seq) + 1
+        if n >= pad_to:
+            yield from emit_all(np.concatenate(pend))
+            pend, n = [], 0
+    if pend:
+        yield from emit_all(np.concatenate(pend))
 
 
 def _sample_key(h: np.ndarray) -> np.ndarray:
@@ -235,6 +465,19 @@ def build_read_filter(
         for h in _iter_hash_batches(paths, k):
             cbf.insert_hashes(nh.extend_hashes_vec(h, k, hash_num))
         return cbf, hist, cutoff
+
+    if _device_backend_ok():
+        # on-device build (ntStat hot path on the TPU): count-min counting
+        # + threshold insertion into the framework-native blocked filter
+        nbits = bloom.pow2_size_bytes(n_solid, hash_num, fpr) * 8
+        slots = 1 << max(12, (cbf_slots - 1).bit_length())
+        builder = DeviceFilterBuilder(k, hash_num, nbits, slots)
+        if cutoff > 1:
+            for buf in _iter_separated_buffers(paths, k):
+                builder.count_batch(buf)
+        for buf in _iter_separated_buffers(paths, k):
+            builder.insert_batch(buf, cutoff)
+        return builder.finish(), hist, cutoff
 
     bf = bloom.KmerBloomFilter.zeros(out_bytes, hash_num, k)
     if cutoff <= 1:

@@ -298,9 +298,12 @@ def check_file_signature(path: str, signature: str) -> bool:
 
 def load_any(path: str):
     """Load a .bf or .cbf by signature sniffing (BFWrapper behaviour,
-    ntedit.cpp:355-364)."""
+    ntedit.cpp:355-364), extended with the framework-native blocked
+    format."""
     if check_file_signature(path, KMER_CBF_SIGNATURE):
         return KmerCountingBloomFilter8.load(path)
+    if check_file_signature(path, BLOCKED_BF_SIGNATURE):
+        return BlockedKmerBloomFilter.load(path)
     return KmerBloomFilter.load(path)
 
 

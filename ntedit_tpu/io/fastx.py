@@ -63,8 +63,23 @@ def read_fastx(path: str) -> Iterator[SeqRecord]:
     """Yield records from a FASTA or FASTQ file, optionally gzipped.
 
     Format is auto-detected from the first byte ('>' FASTA, '@' FASTQ),
-    like kseq.  Malformed leading junk raises ValueError.
+    like kseq.  Malformed leading junk raises ValueError.  Uses the
+    native batch reader (io.native / native/libntpu_io.so) when built;
+    the pure-Python path is the fallback and the reference for tests.
     """
+    from ntedit_tpu.io import native
+
+    if native.get_lib() is not None:
+        for seq_bytes, offs, hdrs, quals in native.read_batches(path):
+            for i, hdr in enumerate(hdrs):
+                sp = min(
+                    (hdr.find(c) for c in (" ", "\t") if hdr.find(c) >= 0),
+                    default=-1,
+                )
+                name, comment = (hdr, "") if sp < 0 else (hdr[:sp], hdr[sp + 1 :].strip())
+                qual = None if quals is None else quals[offs[i] : offs[i + 1]].tobytes()
+                yield SeqRecord(name, comment, seq_bytes[offs[i] : offs[i + 1]], qual)
+        return
     with _open_text_stream(path) as f:
         first = f.peek(1)[:1]
         if first == b">":
