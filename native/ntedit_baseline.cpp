@@ -427,6 +427,12 @@ int main(int argc, char** argv) {
   for (auto& c : contigs) eng.polish(c);
   auto t1 = std::chrono::steady_clock::now();
   double dt = std::chrono::duration<double>(t1 - t0).count();
+  if (argc > 3) {
+    // dump the edited sequences for the three-way output-identity harness
+    // (bench.py / native/run_baseline.py)
+    std::ofstream out(argv[3], std::ios::binary);
+    for (auto& c : contigs) out << c << '\n';
+  }
   printf("{\"bases_per_sec\": %.1f, \"seconds\": %.3f, \"bases\": %zu, "
          "\"n_sub\": %ld, \"n_ins\": %ld, \"n_del\": %ld}\n",
          total / dt, dt, total, eng.n_sub, eng.n_ins, eng.n_del);

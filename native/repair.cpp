@@ -147,6 +147,7 @@ struct NtrParams {
   double missing_needed;
   double present_needed;
   double present_needed_deletion;
+  int32_t rope_compat;  // reference rope deletion off-by-one (FIDELITY #1)
 };
 
 }  // extern "C"
@@ -461,6 +462,40 @@ struct Rope {
     nodes.erase(nodes.begin() + na, nodes.begin() + nb);
     length -= b - a;
     cum_dirty = true;
+  }
+
+  // Effective deletion length under reference rope semantics (rope_compat):
+  // makeDeletion's leftover = pos + num_del - e_pos when consuming a span
+  // node past its end (ntedit.cpp:739,767) — one more than the clean
+  // remainder, cascading per node exit; a leftover with no following node
+  // is dropped (ntedit.cpp:773-780).  Char nodes consume exactly
+  // (ntedit.cpp:782-808).  Mirrors oracle.py RopeCells.compat_deletion_len.
+  int64_t compat_deletion_len(int64_t idx, int64_t n_del) {
+    if (idx >= length) return 0;
+    Cursor c = locate(idx);
+    int64_t remaining = n_del, total = 0;
+    int32_t ni = c.node;
+    int64_t off = c.off;
+    while (remaining > 0 && ni < (int32_t)nodes.size()) {
+      const Node& nd = nodes[ni];
+      if (nd.kind == 0) {
+        int64_t avail = (nd.e - nd.s + 1) - off;
+        if (remaining < avail) {
+          total += remaining;
+          remaining = 0;
+        } else {
+          total += avail;
+          remaining = remaining - avail + 1;  // the off-by-one
+        }
+      } else {
+        total += 1;
+        remaining -= 1;
+      }
+      ++ni;
+      off = 0;
+    }
+    int64_t cap = length - idx;
+    return total < cap ? total : cap;
   }
 
   // set_span_sup: split at i, set sup on the node starting there
@@ -824,6 +859,7 @@ struct Engine {
     }
     if (best.type == 3) {  // deletion
       int64_t n_del = (int64_t)best.indel.size();
+      if (p.rope_compat) n_del = rope.compat_deletion_len(st.t.idx, n_del);
       rope.erase_cells(st.t.idx, st.t.idx + n_del);
       st.t_seq = rope.seq_of(st.t.idx);
       uint8_t new_last = 0;
@@ -1048,6 +1084,15 @@ int64_t ntr_polish_contig(
     int64_t* subs_out, int64_t subs_cap, int64_t* n_subs,
     int64_t* nodes_out, int64_t nodes_cap, int64_t* n_nodes) {
   if (!contig || !bf || !params || !n_subs || !n_nodes) return -1;
+  // the engine trusts these bounds internally (fixed window[256] buffers,
+  // NUM_TRIES[max_insertions] indexing) — reject out-of-range params here
+  // rather than overflow for non-Python callers
+  if (params->k <= 0 || params->k > 255) return -1;
+  if (params->max_insertions < 0 || params->max_insertions > 5) return -1;
+  if (params->max_deletions < 0 || params->max_deletions > 10) return -1;
+  if (bf->hash_num <= 0 && bf->kind != 1) return -1;
+  if (bfrep && bfrep->data && bfrep->hash_num <= 0 && bfrep->kind != 1)
+    return -1;
   eng::build_tables();
   nth::init_tables(params->k);
 

@@ -31,6 +31,13 @@ class EngineConfig:
     min_threshold: int = 1           # -p (CBF)
     max_threshold: int = 255         # -q (CBF)
     verbose: bool = False            # -v
+    # Bug-compatible reference rope semantics (FIDELITY.md #1): a deletion
+    # consuming past a rope-node end deletes one extra base per node exit
+    # (makeDeletion leftover off-by-one, ntedit.cpp:739,767).  Node
+    # boundaries exist only at prior edit sites, so this fires only when a
+    # deletion spans a previous edit.  Default ON: byte-identity with the
+    # reference is the acceptance bar; set False for the clean spec.
+    rope_compat: bool = True
 
     @property
     def insertion_cap(self) -> int:

@@ -146,6 +146,20 @@ def _tile(seq: np.ndarray, n: int, k: int, chunk: int) -> np.ndarray:
     return np.ascontiguousarray(sw[::chunk])
 
 
+def packed_to_positions(words: np.ndarray, n: int) -> np.ndarray:
+    """Little-endian packed gate words -> sorted gate head positions < n.
+    Gates are sparse (~0.1-3% of heads): touch only the nonzero words."""
+    nzw = np.nonzero(words)[0]
+    if not len(nzw):
+        return np.zeros(0, dtype=np.int64)
+    sub = np.unpackbits(
+        words[nzw].view(np.uint8), bitorder="little"
+    ).reshape(-1, 32)
+    rows, cols = np.nonzero(sub)
+    g = nzw[rows].astype(np.int64) * 32 + cols
+    return g[g < n]
+
+
 def flag_contig_gates(
     seq: np.ndarray,
     df: bloom.DeviceFilter,
@@ -153,17 +167,30 @@ def flag_contig_gates(
     min_threshold: int = 1,
     chunk: int = DEFAULT_CHUNK,
 ) -> np.ndarray:
-    """Gate head positions for one contig (packed-transfer dense pass,
-    single device dispatch)."""
+    """Gate head positions for one contig.
+
+    Fixed-shape chunk program, so any contig length reuses ONE compiled
+    executable (a tile-count-specialized program would recompile per
+    contig length — minutes per shape on a tunneled backend).  All chunk
+    dispatches are issued asynchronously (JAX queues them; uploads are
+    1-D contiguous, the fast transfer path), concatenated on device, and
+    read back once."""
     k = df.k
     L = len(seq)
     n = L - k + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
-    tiles = _tile(seq, n, k, chunk)
-    words = np.asarray(flag_tiles_packed(jnp.asarray(tiles), df, k, snv, min_threshold))
-    bits = np.unpackbits(words.reshape(-1).view(np.uint8), bitorder="little")[:n]
-    return np.nonzero(bits)[0]
+    pad_total = (-n) % chunk
+    padded = np.concatenate(
+        [np.asarray(seq, dtype=np.uint8), np.zeros(pad_total + k - 1, np.uint8)]
+    )
+    outs = []
+    for start in range(0, n, chunk):
+        piece = jnp.asarray(padded[start : start + chunk + k - 1])
+        outs.append(flag_chunk_packed(piece, df, k, snv, min_threshold))
+    words_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    words = np.asarray(words_dev)
+    return packed_to_positions(words, n)
 
 
 def flag_contig(

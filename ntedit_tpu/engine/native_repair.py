@@ -55,6 +55,7 @@ class _NtrParams(ctypes.Structure):
         ("missing_needed", ctypes.c_double),
         ("present_needed", ctypes.c_double),
         ("present_needed_deletion", ctypes.c_double),
+        ("rope_compat", ctypes.c_int32),
     ]
 
 
@@ -79,7 +80,9 @@ def get_lib():
         os.path.exists(src)
         and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
     ):
-        if not _build_lib() and not os.path.exists(_LIB_PATH):
+        if not _build_lib():
+            # a stale library must not silently stand in for the checked-in
+            # source: treat a failed rebuild as unavailable
             _lib_error = "build failed"
             return None
     try:
@@ -104,8 +107,13 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def _filter_desc(bf) -> Optional[_NtrFilter]:
-    """Map a host filter object to the C descriptor (zero-copy view)."""
+def _filter_desc(bf) -> Optional[tuple]:
+    """Map a host filter object to its C descriptor.
+
+    Returns (struct, backing array) or None for unknown layouts.  The
+    backing array is a view of the live filter when it is already
+    contiguous (the normal case; asserted below) — callers must keep it
+    referenced across the native call."""
     if bf is None:
         return None
     host = getattr(bf, "bf", bf)  # unwrap BFLike
@@ -120,7 +128,7 @@ def _filter_desc(bf) -> Optional[_NtrFilter]:
         kind = 0
     else:
         return None
-    arr = np.ascontiguousarray(arr)
+    assert arr.flags["C_CONTIGUOUS"], "host filter arrays are contiguous"
     return _NtrFilter(
         kind=kind, hash_num=host.hash_num,
         data=arr.ctypes.data_as(ctypes.c_void_p).value,
@@ -135,6 +143,7 @@ def polish_contig_native(
     header: str,
     seq: bytes | np.ndarray,
     gate_hint: Optional[np.ndarray] = None,
+    initial_caps: Optional[tuple] = None,
 ) -> Optional[ContigResult]:
     """Run the native engine on one contig.  Returns None when the native
     library or the filter layout is unavailable (caller falls back)."""
@@ -163,10 +172,11 @@ def polish_contig_native(
         missing_needed=float(cfg.missing_needed),
         present_needed=float(cfg.present_needed),
         present_needed_deletion=float(cfg.present_needed_deletion),
+        rope_compat=int(cfg.rope_compat),
     )
 
-    contig = np.frombuffer(bytes(seq), dtype=np.uint8).copy()
-    L = contig.size
+    seq_bytes = bytes(seq)
+    L = len(seq_bytes)
     if gate_hint is not None:
         gates = np.ascontiguousarray(gate_hint, dtype=np.int64)
         gates_ptr = gates.ctypes.data_as(ctypes.c_void_p).value
@@ -176,7 +186,13 @@ def polish_contig_native(
 
     subs_cap = max(4096, L // 64)
     nodes_cap = max(4096, L // 64)
+    if initial_caps is not None:  # capacity-retry test hook
+        subs_cap, nodes_cap = initial_caps
     while True:
+        # the engine applies substitutions/masks into the contig buffer in
+        # place before a capacity retcode can surface — every retry must
+        # start from the pristine input, not the partially-edited buffer
+        contig = np.frombuffer(seq_bytes, dtype=np.uint8).copy()
         subs_buf = np.empty(subs_cap * 10, dtype=np.int64)
         nodes_buf = np.empty(nodes_cap * 4, dtype=np.int64)
         n_subs = ctypes.c_int64(0)

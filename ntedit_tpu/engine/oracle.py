@@ -265,6 +265,42 @@ class RopeCells:
         )
         return out
 
+    def compat_deletion_len(self, idx: int, n_del: int) -> int:
+        """Effective deletion length under reference rope semantics
+        (rope_compat): ``makeDeletion`` computes
+        ``leftover_del = pos + num_del - e_pos`` when a deletion consumes a
+        type-0 node past its end (ntedit.cpp:739,767) — one more than the
+        clean remainder — so every span-node exit adds one extra deleted
+        base, cascading; a leftover with no following node is dropped
+        (ntedit.cpp:773-780).  Char (insertion) nodes consume without the
+        off-by-one (ntedit.cpp:782-808).  Node boundaries in this rope are
+        exactly the reference's: both structures split only at edit sites
+        (set_span_sup never splits in practice — the deletion path has
+        already placed a boundary at the support cell)."""
+        if idx >= self._len:
+            return 0
+        ni, off = self._locate(idx)
+        remaining = n_del
+        total = 0
+        while remaining > 0 and ni < len(self.nodes):
+            nd = self.nodes[ni]
+            if nd[0] == "span":
+                avail = (nd[2] - nd[1] + 1) - off
+                if remaining < avail:
+                    total += remaining
+                    remaining = 0
+                else:
+                    total += avail
+                    remaining = remaining - avail + 1  # the off-by-one
+            else:
+                # consecutive char nodes consume one each, exactly
+                take = 1 if remaining >= 1 else 0
+                total += take
+                remaining -= take
+            ni += 1
+            off = 0
+        return min(total, self._len - idx)
+
     def set_span_sup(self, i: int, sup: int) -> None:
         ni = self._split_at(i)
         nd = self.nodes[ni]
@@ -746,6 +782,9 @@ class Oracle:
             return fh, rh, True
         if kind == 3:  # deletion
             n_del = len(best["indel"])
+            if cfg.rope_compat and isinstance(cells, RopeCells):
+                # reference node-spanning off-by-one (FIDELITY.md #1)
+                n_del = cells.compat_deletion_len(t_idx, n_del)
             del cells[t_idx : t_idx + n_del]
             st[3] = self._seq_of(t_idx)
             if t_idx < len(cells):

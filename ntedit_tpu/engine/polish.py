@@ -2,16 +2,20 @@
 
 The throughput-dominant work — one canonical multi-hash + Bloom probe per
 draft base (SURVEY.md §3.3) — runs on device as a batched dense pass
-(ntedit_tpu.engine.flag).  The sparse repair of flagged sites runs through
-the scalar spec (ntedit_tpu.engine.oracle) with gate-hint fast-forwarding:
-the scan jumps over stretches the device proved clean, and behaves exactly
-like the full scan elsewhere.  Output is therefore *identical by
-construction* to the oracle (property-tested in
-tests/test_polish_pipeline.py), while the per-base cost moves to the TPU.
+(ntedit_tpu.engine.flag / ops.flag_kernel).  The sparse, branchy repair of
+flagged sites runs on host with gate-hint fast-forwarding — the scan jumps
+over stretches the device proved clean and behaves exactly like the full
+sequential scan elsewhere — through one of three interchangeable engines,
+all property-tested bit-identical to the scalar spec
+(ntedit_tpu.engine.oracle):
 
-The fully on-device batched repair state machine (ntedit_tpu.engine.repair)
-replaces the host repair for flagged sites; this module is the reference
-composition and the fallback path.
+* ``native``  — the C++ sparse-repair engine (native/repair.cpp via
+  ntedit_tpu.engine.native_repair); the production path
+  (tests/test_native_repair.py).
+* ``wavefront`` — batched numpy rounds (ntedit_tpu.engine.wavefront); used
+  when the native library is unavailable (tests/test_wavefront.py).
+* ``sequential`` — the oracle itself with gate hints; the always-correct
+  fallback (tests/test_polish_pipeline.py).
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ class Polisher:
         use_device: bool = True,
         chunk: int = flag.DEFAULT_CHUNK,
         fast_sites: bool = True,
-        engine: str = "wavefront",
+        engine: str = "auto",
     ):
         if cfg is None:
             cfg = EngineConfig(k=host_bloom.k, hash_num=host_bloom.hash_num)
@@ -51,6 +55,10 @@ class Polisher:
         self.oracle = Oracle(host_bloom, host_bloomrep, self.cfg, fast=fast_sites)
         self.use_device = use_device
         self.chunk = chunk
+        if engine == "auto":
+            from ntedit_tpu.engine import native_repair
+
+            engine = "native" if native_repair.available() else "wavefront"
         self.engine = engine if use_device else "sequential"
         self.df = bloom.DeviceFilter.from_host(host_bloom) if use_device else None
 
@@ -72,7 +80,17 @@ class Polisher:
 
     def polish_contig(self, header: str, seq: np.ndarray) -> ContigResult:
         hint = self.gate_positions(seq)
-        if self.engine == "wavefront" and hint is not None:
+        if self.engine == "native":
+            from ntedit_tpu.engine import native_repair
+
+            res = native_repair.polish_contig_native(
+                self.oracle.bloom, self.oracle.bloomrep, self.cfg,
+                header, seq, gate_hint=hint,
+            )
+            if res is not None:
+                return res
+            # library/filter-layout unavailable: wavefront path
+        if self.engine in ("wavefront", "native") and hint is not None:
             from ntedit_tpu.engine import wavefront
 
             if self.cfg.snv:

@@ -380,6 +380,17 @@ def polish_contig_wavefront(
                     delta += len(oracle.cells) - n_before
                     infl_end = h_seq + infl
                     edit_hs.append(h_seq)
+                    if (
+                        pristine
+                        and best is not None
+                        and best["type"] == 3
+                        and n_before - len(oracle.cells) != len(best["indel"])
+                    ):
+                        # rope_compat extended the deletion across a prior-
+                        # edit node boundary: the precomputed zone assumed
+                        # the clean length — re-flag live instead
+                        zones.pop(hc, None)
+                        carry.pop(h_seq, None)
                     if pristine and best is not None and hc in zones:
                         zg = zones[hc] + hc_adj
                         quiet = not len(zg)

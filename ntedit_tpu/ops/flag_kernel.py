@@ -129,6 +129,10 @@ def _flag_gates_packed(seq_padded, words, chunk: int, k: int, wbits: int,
     return (b << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
 
 
+SUPER_HEADS = 1 << 20  # heads per pallas_call: fixes n_chunks (and so the
+# compiled program shape) for every contig length; longer contigs loop
+
+
 def flag_contig_gates_pallas(seq: np.ndarray, df, snv: bool = False,
                              chunk: int = DEFAULT_CHUNK,
                              interpret: bool | None = None) -> np.ndarray:
@@ -136,6 +140,9 @@ def flag_contig_gates_pallas(seq: np.ndarray, df, snv: bool = False,
 
     Requires a blocked device filter (df.blocked); the XLA path
     (engine.flag.flag_contig_gates) covers every other filter kind.
+    Processes the contig in fixed-shape super-chunks of SUPER_HEADS heads
+    (one compile per (k, filter) config regardless of contig length);
+    dispatches are issued asynchronously and read back once.
     """
     if not df.blocked:
         raise ValueError("pallas flag kernel requires a blocked filter")
@@ -146,16 +153,29 @@ def flag_contig_gates_pallas(seq: np.ndarray, df, snv: bool = False,
     n = L - k + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
-    n_chunks = -(-n // chunk)
-    padded = np.zeros(n_chunks * chunk + HALO_PAD, dtype=np.uint8)
-    padded[:L] = seq
+    from ntedit_tpu.engine.flag import packed_to_positions
+
+    # power-of-two n_chunks buckets: at most log2(SUPER_HEADS/chunk)+1
+    # compiled shapes ever, whatever contig lengths arrive
+    n_chunks = 1
+    while n_chunks * chunk < min(n, SUPER_HEADS):
+        n_chunks *= 2
+    super_heads = n_chunks * chunk
     nw = df.bits // 32
     wbits = nw.bit_length() - 1
-    words = np.asarray(
-        _flag_gates_packed(
-            jnp.asarray(padded), df.words, chunk, k, wbits, df.hash_num,
-            n_chunks, snv, interpret,
-        )
+    pad_total = (-n) % super_heads
+    padded = np.concatenate(
+        [np.asarray(seq, dtype=np.uint8), np.zeros(pad_total + HALO_PAD, np.uint8)]
     )
-    bits = np.unpackbits(words.view(np.uint8), bitorder="little")[:n]
-    return np.nonzero(bits)[0]
+    outs = []
+    for start in range(0, n, super_heads):
+        piece = jnp.asarray(padded[start : start + super_heads + HALO_PAD])
+        outs.append(
+            _flag_gates_packed(
+                piece, df.words, chunk, k, wbits, df.hash_num,
+                n_chunks, snv, interpret,
+            )
+        )
+    words_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    words = np.asarray(words_dev)
+    return packed_to_positions(words, n)

@@ -1,0 +1,217 @@
+"""Native sparse-repair engine (native/repair.cpp) == sequential oracle,
+bit-for-bit.
+
+Drives ntedit_tpu.engine.native_repair.polish_contig_native — the
+production host repair path — against the Python oracle on the same
+workload families the wavefront tests cover, comparing both the edited
+sequence and the rendered _edited.fa/_changes.tsv/_variants.vcf outputs.
+Also exercises the gate-hint fast-forward path (gated native run ==
+full-scan native run == oracle) and the capacity-retry path (the engine
+must restart from a pristine contig buffer, not the partially-edited one).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from ntedit_tpu.core import bloom, nthash_ref as nh
+from ntedit_tpu.engine import native_repair
+from ntedit_tpu.engine.config import EngineConfig
+from ntedit_tpu.engine.oracle import Oracle
+from ntedit_tpu.io import writers
+from ntedit_tpu.utils import simulate
+
+pytestmark = pytest.mark.skipif(
+    not native_repair.available(), reason="native repair library not built"
+)
+
+
+def render(result, snv=False):
+    d, r, v = io.StringIO(), io.StringIO(), io.StringIO()
+    writers.write_contig(result, d, r, v, snv=snv)
+    return d.getvalue() + "\x00" + r.getvalue() + "\x00" + v.getvalue()
+
+
+def assert_equivalent(draft, bf, bfrep=None, gate_hint=None, **cfg_kw):
+    cfg = EngineConfig(k=bf.k, hash_num=bf.hash_num, **cfg_kw)
+    oracle = Oracle(bf, bfrep, cfg)
+    slow = oracle.polish_contig("ctg", bytes(draft))
+    fast = native_repair.polish_contig_native(
+        oracle.bloom, oracle.bloomrep, cfg, "ctg", bytes(draft),
+        gate_hint=gate_hint,
+    )
+    assert fast is not None
+    assert fast.edited == slow.edited
+    assert fast.subs == slow.subs
+    assert render(fast, snv=cfg.snv) == render(slow, snv=cfg.snv)
+    return fast
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_modes_with_indels(mode):
+    wl = simulate.make_workload(length=12000, k=25, seed=80)
+    res = assert_equivalent(wl.draft, wl.bf, mode=mode)
+    assert res.edited == wl.truth.tobytes()
+
+
+def test_clean_contig_no_edits():
+    truth = simulate.random_genome(4000, seed=81)
+    bf = simulate.truth_bf(truth, 25)
+    res = assert_equivalent(truth, bf)
+    assert res.edited == truth.tobytes()
+
+
+@pytest.mark.parametrize("min_gap", [5, 12, 30])
+def test_clustered_errors(min_gap):
+    truth = simulate.random_genome(8000, seed=82 + min_gap)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=6e-3, ins_rate=1.5e-3, del_rate=1.5e-3,
+        min_gap=min_gap, seed=83 + min_gap,
+    )
+    bf = simulate.truth_bf(truth, 25)
+    assert_equivalent(draft, bf)
+
+
+def test_errors_near_contig_ends():
+    truth = simulate.random_genome(900, seed=92)
+    draft = truth.copy()
+    draft[26] = ord("A") if truth[26] != ord("A") else ord("C")
+    draft[-26] = ord("A") if truth[-26] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, 25)
+    assert_equivalent(draft, bf)
+
+
+def test_non_acgt_runs():
+    truth = simulate.random_genome(4000, seed=93)
+    draft = truth.copy()
+    draft[1000:1015] = ord("N")
+    draft[2000] = ord("R")
+    draft[2500] = ord("A") if truth[2500] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, 25)
+    assert_equivalent(draft, bf)
+
+
+def test_lowercase_preserved():
+    truth = simulate.random_genome(3000, seed=94)
+    draft = truth.copy()
+    draft[500:600] += 32
+    draft[550] = ord("a") if truth[550] != ord("A") else ord("c")
+    bf = simulate.truth_bf(truth, 25)
+    assert_equivalent(draft, bf)
+
+
+def test_mask_mode():
+    truth = simulate.random_genome(2500, seed=95)
+    draft = truth.copy()
+    p = 1200
+    draft[p] = ord("A") if truth[p] != ord("A") else ord("C")
+    bf = bloom.KmerBloomFilter.zeros(1 << 14, 3, 25)
+    bf.insert_seq(truth[: p - 40])
+    bf.insert_seq(truth[p + 40 :])
+    assert_equivalent(draft, bf, mask=True)
+
+
+def test_snv_mode():
+    truth = simulate.random_genome(1500, seed=96)
+    p = 700
+    variant = truth.copy()
+    variant[p] = ord("A") if truth[p] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, 25)
+    bf.insert_seq(variant)
+    assert_equivalent(truth, bf, snv=True)
+
+
+def test_cbf_and_reject():
+    truth = simulate.random_genome(3000, seed=97)
+    draft = truth.copy()
+    for p in (700, 1400, 2100):
+        draft[p] = ord("A") if truth[p] != ord("A") else ord("C")
+    cbf = bloom.KmerCountingBloomFilter8.zeros(1 << 17, 3, 25)
+    fh, rh = nh.all_window_hashes(truth, 25)
+    hashes = nh.extend_hashes_vec(nh.canonical(fh, rh), 25, 3)
+    for _ in range(4):
+        cbf.insert_hashes(hashes)
+    rep = bloom.KmerBloomFilter.zeros(1 << 12, 3, 25)
+    rep.insert_seq(truth[1350:1460])
+    assert_equivalent(draft, cbf, bfrep=rep, min_threshold=2)
+
+
+def test_blocked_filter():
+    wl = simulate.make_workload(length=8000, k=25, seed=130)
+    blocked = bloom.BlockedKmerBloomFilter.zeros(1 << 16, 3, 25)
+    blocked.insert_seq(wl.truth)
+    assert_equivalent(wl.draft, blocked)
+
+
+@pytest.mark.parametrize("seed", range(100, 110))
+def test_fuzz_dense(seed):
+    rng = np.random.default_rng(seed)
+    truth = simulate.random_genome(int(rng.integers(2000, 6000)), seed=seed)
+    draft, _ = simulate.inject_errors(
+        truth,
+        sub_rate=float(rng.uniform(1e-3, 8e-3)),
+        ins_rate=float(rng.uniform(0, 2e-3)),
+        del_rate=float(rng.uniform(0, 2e-3)),
+        min_gap=int(rng.integers(4, 50)),
+        seed=seed + 1,
+    )
+    bf = simulate.truth_bf(truth, 25)
+    assert_equivalent(draft, bf, mode=int(rng.integers(0, 3)))
+
+
+def test_gate_hint_equals_full_scan():
+    """Gated run == full scan == oracle.  The hint is the real device gate
+    bitmap (all heads whose k-mer is absent), plus a stale-hint variant
+    (every head) which must behave identically."""
+    wl = simulate.make_workload(length=10000, k=25, seed=140)
+    cfg = EngineConfig(k=wl.bf.k, hash_num=wl.bf.hash_num)
+    oracle = Oracle(wl.bf, None, cfg)
+    # derive exact gates on host
+    fh, rh = nh.all_window_hashes(wl.draft, 25)
+    hashes = nh.extend_hashes_vec(nh.canonical(fh, rh), 25, 3)
+    present = wl.bf.contains_hashes(hashes)
+    gates = np.nonzero(~present)[0].astype(np.int64)
+    full = native_repair.polish_contig_native(
+        oracle.bloom, None, cfg, "ctg", bytes(wl.draft))
+    gated = native_repair.polish_contig_native(
+        oracle.bloom, None, cfg, "ctg", bytes(wl.draft), gate_hint=gates)
+    every = native_repair.polish_contig_native(
+        oracle.bloom, None, cfg, "ctg", bytes(wl.draft),
+        gate_hint=np.arange(len(wl.draft) - 24, dtype=np.int64))
+    slow = oracle.polish_contig("ctg", bytes(wl.draft))
+    assert full.edited == gated.edited == every.edited == slow.edited
+    assert full.subs == gated.subs == every.subs == slow.subs
+
+
+def test_capacity_retry_restarts_pristine():
+    """A capacity retry must re-polish the ORIGINAL contig: the engine
+    applies substitutions in place before the -2/-3 retcode surfaces, so
+    reusing the buffer would silently polish an already-edited sequence."""
+    wl = simulate.make_workload(length=12000, k=25, seed=150)
+    cfg = EngineConfig(k=wl.bf.k, hash_num=wl.bf.hash_num)
+    oracle = Oracle(wl.bf, None, cfg)
+    normal = native_repair.polish_contig_native(
+        oracle.bloom, None, cfg, "ctg", bytes(wl.draft))
+    assert len(normal.subs) > 4  # the tiny caps below genuinely overflow
+    tiny = native_repair.polish_contig_native(
+        oracle.bloom, None, cfg, "ctg", bytes(wl.draft), initial_caps=(2, 2))
+    assert tiny.edited == normal.edited
+    assert tiny.subs == normal.subs
+
+
+def test_param_validation_rejects_bad_k():
+    """The C ABI must reject out-of-range params instead of overflowing
+    fixed buffers (ADVICE r1)."""
+    truth = simulate.random_genome(2000, seed=160)
+    bf = simulate.truth_bf(truth, 25)
+    cfg = EngineConfig(k=bf.k, hash_num=bf.hash_num)
+    oracle = Oracle(bf, None, cfg)
+    import dataclasses
+
+    # validate() does not clamp k (it comes from the BF header), so the
+    # doctored value reaches the C ABI, which must return -1 -> None
+    bad = dataclasses.replace(cfg, k=300)
+    res = native_repair.polish_contig_native(
+        oracle.bloom, None, bad, "ctg", bytes(truth))
+    assert res is None
