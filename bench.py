@@ -122,22 +122,26 @@ def main():
     # --- timed runs: median of 3 (the tunneled device adds multi-hundred-
     # ms jitter per run; the C++ baseline on the local CPU has none) ---
     times = []
-    stage_gate = stage_repair = 0.0
     for _ in range(3):
         t1 = time.time()
-        hint = pol.gate_positions(draft)
-        t2 = time.time()
-        res = native_repair.polish_contig_native(
-            pol.oracle.bloom, None, cfg, "ecoli_sim", draft, gate_hint=hint
-        ) if pol.engine == "native" else pol.polish_contig("ecoli_sim", draft)
-        t3 = time.time()
-        times.append(t3 - t1)
-        stage_gate, stage_repair = t2 - t1, t3 - t2
+        res = pol.polish_contig("ecoli_sim", draft)
+        times.append(time.time() - t1)
     dt = sorted(times)[1]
     bases_per_sec = len(draft) / dt
-    log(f"# stage breakdown (last run): gate pass {stage_gate*1e3:.0f}ms, "
-        f"sparse repair {stage_repair*1e3:.0f}ms, total {dt*1e3:.0f}ms "
-        f"({bases_per_sec:,.0f} bp/s)")
+
+    # stage costs measured unoverlapped (the pipelined path overlaps them)
+    t1 = time.time()
+    hint = pol.gate_positions(draft)
+    stage_gate = time.time() - t1
+    t1 = time.time()
+    _ = native_repair.polish_contig_segmented(
+        pol.oracle.bloom, None, cfg, "ecoli_sim", draft, hint,
+        threads=cfg.threads,
+    )
+    stage_repair = time.time() - t1
+    log(f"# stages unoverlapped: gate pass {stage_gate*1e3:.0f}ms, "
+        f"threaded repair {stage_repair*1e3:.0f}ms; pipelined total "
+        f"{dt*1e3:.0f}ms ({bases_per_sec:,.0f} bp/s)")
 
     # --- engine identity at full scale: native == wavefront ---
     t4 = time.time()

@@ -11,6 +11,21 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
     )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import subprocess  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Build the native libraries up front so their tests run instead of
+# skipping (libntpu_io.so for the fastx reader, libntedit_repair.so for
+# the repair engine).  A failed build leaves the skips in place.
+_native = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
+if os.path.isdir(_native):
+    try:
+        subprocess.run(
+            ["make", "-C", _native, "libntpu_io.so", "libntedit_repair.so"],
+            check=False, capture_output=True, timeout=180,
+        )
+    except Exception:
+        pass

@@ -136,6 +136,7 @@ def _run_engine(
         edit_threshold=y, use_ratio=use_ratio, missing_ratio=max(X, 0.0),
         edit_ratio=max(Y, 0.0), jump=j, mode=m, snv=bool(s), mask=bool(a),
         min_threshold=p, max_threshold=q, verbose=bool(v),
+        threads=max(1, threads),
     ).validate()
 
     if not prefix:

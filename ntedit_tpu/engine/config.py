@@ -16,6 +16,11 @@ class EngineConfig:
     # (ntedit.cpp:2439-2448).
     k: int = 0
     hash_num: int = 0
+    # -t: host repair threads (reference default 4, ntedit.cpp:100,2432).
+    # The reference parallelizes over contigs; this engine parallelizes
+    # independent gate-run segments within a contig (native_repair.
+    # polish_contig_segmented) and pipelines contigs, both exactly.
+    threads: int = 4
     min_contig_len: int = 100        # -z
     max_insertions: int = 5          # -i (0..5)
     max_deletions: int = 5           # -d (0..10)

@@ -45,7 +45,7 @@ _ACCEPTED_MASK = np.uint32(0)
 for _c in ACCEPTED:
     _ACCEPTED_MASK |= np.uint32(1) << np.uint32(_c - 64)
 
-DEFAULT_CHUNK = 1 << 18
+DEFAULT_CHUNK = 1 << 19
 
 
 def _accepted(seq):
@@ -191,6 +191,46 @@ def flag_contig_gates(
     words_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     words = np.asarray(words_dev)
     return packed_to_positions(words, n)
+
+
+def iter_gate_chunks(
+    seq: np.ndarray,
+    df: bloom.DeviceFilter,
+    snv: bool = False,
+    min_threshold: int = 1,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Stream gate positions per chunk: yields (frontier, gates) where
+    ``gates`` are ABSOLUTE head positions < ``frontier`` and every head
+    < frontier has now been reported.
+
+    Every chunk's device program is dispatched up front (async); readbacks
+    then drain in order, so consumers overlap host work (sparse repair)
+    with the in-flight device computation of later chunks."""
+    k = df.k
+    L = len(seq)
+    n = L - k + 1
+    if n <= 0:
+        return
+    pad_total = (-n) % chunk
+    padded = np.concatenate(
+        [np.asarray(seq, dtype=np.uint8), np.zeros(pad_total + k - 1, np.uint8)]
+    )
+    outs = []
+    for start in range(0, n, chunk):
+        piece = jnp.asarray(padded[start : start + chunk + k - 1])
+        outs.append((start, flag_chunk_packed(piece, df, k, snv, min_threshold)))
+    for _start, out in outs:
+        # queue all device->host copies up front: readbacks then stream
+        # behind the compute instead of paying one sync round trip each
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+    for start, out in outs:
+        words = np.asarray(out)
+        g = packed_to_positions(words, min(chunk, n - start))
+        yield min(start + chunk, n), g + start
 
 
 def flag_contig(

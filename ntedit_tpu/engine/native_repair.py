@@ -136,34 +136,8 @@ def _filter_desc(bf) -> Optional[tuple]:
     ), arr  # keep arr alive
 
 
-def polish_contig_native(
-    host_bloom,
-    host_bloomrep,
-    cfg: EngineConfig,
-    header: str,
-    seq: bytes | np.ndarray,
-    gate_hint: Optional[np.ndarray] = None,
-    initial_caps: Optional[tuple] = None,
-) -> Optional[ContigResult]:
-    """Run the native engine on one contig.  Returns None when the native
-    library or the filter layout is unavailable (caller falls back)."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    bfd = _filter_desc(host_bloom)
-    if bfd is None:
-        return None
-    bf_struct, bf_keep = bfd
-    rep_struct = None
-    rep_keep = None
-    if host_bloomrep is not None:
-        repd = _filter_desc(host_bloomrep)
-        if repd is None:
-            return None
-        rep_struct, rep_keep = repd
-
-    cfg = cfg.validate()
-    params = _NtrParams(
+def _params_of(cfg: EngineConfig) -> _NtrParams:
+    return _NtrParams(
         k=cfg.k, jump=cfg.jump, mode=cfg.mode,
         max_insertions=cfg.max_insertions, max_deletions=cfg.max_deletions,
         min_threshold=cfg.min_threshold, max_threshold=cfg.max_threshold,
@@ -175,24 +149,32 @@ def polish_contig_native(
         rope_compat=int(cfg.rope_compat),
     )
 
-    seq_bytes = bytes(seq)
-    L = len(seq_bytes)
-    if gate_hint is not None:
-        gates = np.ascontiguousarray(gate_hint, dtype=np.int64)
+
+def _run_raw(lib, contig: np.ndarray, pristine: bytes, gates, bf_struct,
+             rep_struct, params, initial_caps=None):
+    """One ntr_polish_contig call with capacity retries.
+
+    ``contig`` is modified in place (it may be a view into a shared
+    whole-contig buffer); every retry restores it from ``pristine`` first —
+    the engine applies substitutions/masks before a capacity retcode can
+    surface.  Returns (subs [N,10] int64, nodes [M,4] int64) or None.
+    ctypes releases the GIL for the call, so segment runs parallelize."""
+    L = contig.size
+    if gates is not None:
+        gates = np.ascontiguousarray(gates, dtype=np.int64)
         gates_ptr = gates.ctypes.data_as(ctypes.c_void_p).value
         n_gates = gates.size
     else:
-        gates, gates_ptr, n_gates = None, None, 0
-
+        gates_ptr, n_gates = None, 0
     subs_cap = max(4096, L // 64)
     nodes_cap = max(4096, L // 64)
     if initial_caps is not None:  # capacity-retry test hook
         subs_cap, nodes_cap = initial_caps
+    first = True
     while True:
-        # the engine applies substitutions/masks into the contig buffer in
-        # place before a capacity retcode can surface — every retry must
-        # start from the pristine input, not the partially-edited buffer
-        contig = np.frombuffer(seq_bytes, dtype=np.uint8).copy()
+        if not first:
+            contig[:] = np.frombuffer(pristine, dtype=np.uint8)
+        first = False
         subs_buf = np.empty(subs_cap * 10, dtype=np.int64)
         nodes_buf = np.empty(nodes_cap * 4, dtype=np.int64)
         n_subs = ctypes.c_int64(0)
@@ -216,34 +198,376 @@ def polish_contig_native(
             continue
         if rc != 0:
             return None
-        break
-    del bf_keep, rep_keep, gates  # lifetimes held through the call
+        return (
+            subs_buf[: n_subs.value * 10].reshape(-1, 10),
+            nodes_buf[: n_nodes.value * 4].reshape(-1, 4),
+        )
 
-    # -- reconstruct ContigResult (oracle representation) --
-    subs = []
-    sb = subs_buf[: n_subs.value * 10].reshape(-1, 10)
-    for row in sb:
-        subs.append(SubRec(
-            pos=int(row[0]), draft_char=int(row[1]), sub_base=int(row[2]),
-            num_support=int(row[3]),
-            altbase1=int(row[4]), altsupp1=int(row[5]),
-            altbase2=int(row[6]), altsupp2=int(row[7]),
-            altbase3=int(row[8]), altsupp3=int(row[9]),
-        ))
-    cells = RopeCells(0)
-    nodes = []
+
+def _subs_of(sb: np.ndarray, offset: int = 0) -> list:
+    return [
+        SubRec(
+            pos=int(r[0]) + offset, draft_char=int(r[1]), sub_base=int(r[2]),
+            num_support=int(r[3]),
+            altbase1=int(r[4]), altsupp1=int(r[5]),
+            altbase2=int(r[6]), altsupp2=int(r[7]),
+            altbase3=int(r[8]), altsupp3=int(r[9]),
+        )
+        for r in sb
+    ]
+
+
+def _append_nodes(nodes: list, nb: np.ndarray, offset: int = 0) -> int:
+    """Raw [M,4] node rows -> RopeCells node list entries (span coords
+    shifted by ``offset``).  Returns the cell count appended."""
     total = 0
-    nb = nodes_buf[: n_nodes.value * 4].reshape(-1, 4)
     for kind, a, b, sup in nb:
         if kind == 0:
-            nodes.append(["span", int(a), int(b), int(sup)])
+            nodes.append(["span", int(a) + offset, int(b) + offset, int(sup)])
             total += int(b) - int(a) + 1
         else:
             # ins cell [-1, char, ins_sup, span_sup]
             nodes.append(["ins", [-1, int(a), int(sup), int(b)]])
             total += 1
+    return total
+
+
+def _filters_of(host_bloom, host_bloomrep):
+    bfd = _filter_desc(host_bloom)
+    if bfd is None:
+        return None
+    bf_struct, bf_keep = bfd
+    rep_struct = rep_keep = None
+    if host_bloomrep is not None:
+        repd = _filter_desc(host_bloomrep)
+        if repd is None:
+            return None
+        rep_struct, rep_keep = repd
+    return bf_struct, rep_struct, (bf_keep, rep_keep)
+
+
+def polish_contig_native(
+    host_bloom,
+    host_bloomrep,
+    cfg: EngineConfig,
+    header: str,
+    seq: bytes | np.ndarray,
+    gate_hint: Optional[np.ndarray] = None,
+    initial_caps: Optional[tuple] = None,
+) -> Optional[ContigResult]:
+    """Run the native engine on one contig.  Returns None when the native
+    library or the filter layout is unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fd = _filters_of(host_bloom, host_bloomrep)
+    if fd is None:
+        return None
+    bf_struct, rep_struct, _keep = fd
+    params = _params_of(cfg.validate())
+    seq_bytes = bytes(seq)
+    contig = np.frombuffer(seq_bytes, dtype=np.uint8).copy()
+    out = _run_raw(lib, contig, seq_bytes, gate_hint, bf_struct, rep_struct,
+                   params, initial_caps)
+    if out is None:
+        return None
+    sb, nb = out
+    cells = RopeCells(0)
+    cells.nodes = []
+    cells._len = _append_nodes(cells.nodes, nb)
+    cells._cum = None
+    return ContigResult(header, bytearray(contig.tobytes()), cells,
+                        _subs_of(sb))
+
+
+# ---------------------------------------------------------------------------
+# Segmented parallel repair: gate runs far enough apart are independent
+# (the reference's only engine parallelism is contigs, ntedit.cpp:2213-2250;
+# segment parallelism is the single-contig analogue and is exact — see the
+# overflow guard below).
+# ---------------------------------------------------------------------------
+
+
+def _gap_margin(cfg) -> tuple:
+    """(gap, margin): a gap of > ``gap`` gate-free heads between
+    consecutive gates means the dense pass proved the region clean against
+    ORIGINAL content; an edit's influence (content change + re-gate reach
+    + trial lookahead) cannot cross it, so the scan state on the far side
+    is exactly the fresh-seed state.  ``margin`` is the per-segment
+    activity bound checked by the overflow guard."""
+    gap = 4 * cfg.k + cfg.insertion_cap + cfg.max_deletions + 32
+    margin = gap - 2 * cfg.k - cfg.max_deletions - 2
+    return gap, margin
+
+
+def _segment_bounds(gates: np.ndarray, L: int, cfg) -> tuple:
+    """Partition gate heads into independent segments (see _gap_margin).
+    Returns (starts, ends, lo, hi, margin) index/coordinate arrays."""
+    gap, margin = _gap_margin(cfg)
+    splits = np.nonzero(np.diff(gates) > gap)[0] + 1
+    starts = np.concatenate([[0], splits])
+    ends = np.concatenate([splits, [len(gates)]])
+    lo = gates[starts]
+    hi = np.minimum(L, gates[ends - 1] + gap)
+    return starts, ends, lo, hi, margin
+
+
+def _bucket_bounds(gates: np.ndarray, L: int, cfg, n_buckets: int) -> tuple:
+    """Group gates into <= n_buckets contiguous buckets cut only at quiet
+    gaps (> gap gate-free heads), balanced by gate count.  One native call
+    per bucket: within a bucket the engine fast-forwards across internal
+    gaps exactly like the whole-contig run, so only bucket BOUNDARIES need
+    the independence argument (and the trailing overflow guard).
+
+    Returns (idx_bounds, margin): idx_bounds is a list of (i0, i1) gate
+    index ranges."""
+    gap, margin = _gap_margin(cfg)
+    n = len(gates)
+    cuts = np.nonzero(np.diff(gates) > gap)[0] + 1  # legal cut indices
+    if n_buckets <= 1 or not len(cuts):
+        return [(0, n)], margin
+    targets = n * np.arange(1, n_buckets) / n_buckets
+    chosen = sorted({int(cuts[np.abs(cuts - t).argmin()]) for t in targets})
+    edges = [0] + chosen + [n]
+    return [
+        (edges[i], edges[i + 1])
+        for i in range(len(edges) - 1)
+        if edges[i + 1] > edges[i]
+    ], margin
+
+
+def polish_contig_segmented(
+    host_bloom,
+    host_bloomrep,
+    cfg: EngineConfig,
+    header: str,
+    seq: bytes | np.ndarray,
+    gates: np.ndarray,
+    threads: int = 4,
+) -> Optional[ContigResult]:
+    """Parallel exact repair: independent gate-run segments in threads.
+
+    Output is identical to the sequential native scan: segments are cut
+    only across gate-free gaps wider than any edit's influence, each
+    segment's repair is the sequential engine on its slice, and an
+    overflow guard falls back to the whole-contig sequential run if a
+    segment's activity ever reaches its right margin (pathological edit
+    cascades).  Returns None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if cfg.snv:
+        return None  # SNV gates every head: no quiet gaps to cut at
+    fd = _filters_of(host_bloom, host_bloomrep)
+    if fd is None:
+        return None
+    bf_struct, rep_struct, _keep = fd
+    cfg = cfg.validate()
+    params = _params_of(cfg)
+    seq_bytes = bytes(seq)
+    L = len(seq_bytes)
+    gates = np.ascontiguousarray(gates, dtype=np.int64)
+    if len(gates) == 0:
+        cells = RopeCells(L)
+        return ContigResult(header, bytearray(seq_bytes), cells, [])
+
+    gap, _ = _gap_margin(cfg)
+    contig = np.frombuffer(seq_bytes, dtype=np.uint8).copy()
+    idx_bounds, margin = _bucket_bounds(gates, L, cfg, n_buckets=4 * threads)
+    if len(idx_bounds) == 1 or threads <= 1:
+        out = _run_raw(lib, contig, seq_bytes, gates, bf_struct, rep_struct,
+                       params)
+        if out is None:
+            return None
+        sb, nb = out
+        cells = RopeCells(0)
+        cells.nodes = []
+        cells._len = _append_nodes(cells.nodes, nb)
+        cells._cum = None
+        return ContigResult(header, bytearray(contig.tobytes()), cells,
+                            _subs_of(sb))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    runner = _seg_runner(lib, contig, seq_bytes, bf_struct, rep_struct,
+                         params, margin)
+    jobs = []
+    for i0, i1 in idx_bounds:
+        lo = int(gates[i0])
+        hi = int(min(L, gates[i1 - 1] + gap))
+        jobs.append((lo, hi, gates[i0:i1]))
+    with ThreadPoolExecutor(max_workers=min(threads, len(jobs))) as ex:
+        results = list(ex.map(lambda j: runner(*j), jobs))
+    return _finish_segments(
+        lib, header, seq_bytes, contig, gates, bf_struct, rep_struct, params,
+        [(j[0], j[1]) for j in jobs], results,
+    )
+
+
+def _seg_runner(lib, contig, seq_bytes, bf_struct, rep_struct, params, margin):
+    """Closure running one segment: (lo, hi, abs_gates) -> (sb, nb) raw
+    arrays, "overflow" when activity reaches the right margin, or None on
+    engine failure."""
+
+    def run(lo: int, hi: int, seg_gates_abs: np.ndarray):
+        view = contig[lo:hi]
+        pristine = seq_bytes[lo:hi]
+        out = _run_raw(lib, view, pristine, seg_gates_abs - lo, bf_struct,
+                       rep_struct, params)
+        if out is None:
+            return None
+        sb, nb = out
+        # overflow guard: activity must stay left of the margin
+        limit = int(seg_gates_abs[-1]) - lo + margin
+        if len(sb) and int(sb[:, 0].max()) > limit:
+            return "overflow"
+        if len(nb):
+            last = nb[-1]
+            if not (last[0] == 0 and int(last[2]) == hi - lo - 1
+                    and int(last[1]) <= limit):
+                return "overflow"
+        return sb, nb
+
+    return run
+
+
+def _finish_segments(lib, header, seq_bytes, contig, all_gates, bf_struct,
+                     rep_struct, params, bounds, results):
+    """Handle overflow/failure fallbacks, then stitch segment results."""
+    L = len(seq_bytes)
+    if any(r is None for r in results):
+        return None
+    if any(isinstance(r, str) for r in results):
+        # pathological cascade: exact fallback to the sequential whole run
+        contig = np.frombuffer(seq_bytes, dtype=np.uint8).copy()
+        out = _run_raw(lib, contig, seq_bytes, all_gates, bf_struct,
+                       rep_struct, params)
+        if out is None:
+            return None
+        sb, nb = out
+        cells = RopeCells(0)
+        cells.nodes = []
+        cells._len = _append_nodes(cells.nodes, nb)
+        cells._cum = None
+        return ContigResult(header, bytearray(contig.tobytes()), cells,
+                            _subs_of(sb))
+
+    # stitch: inter-segment clean spans + per-segment node streams (writers
+    # merge coordinate-contiguous spans, so seam splits are render-equal)
+    subs = []
+    nodes = []
+    total = 0
+    cursor = 0
+    for (lo, hi), (sb, nb) in zip(bounds, results):
+        if lo > cursor:
+            nodes.append(["span", cursor, lo - 1, 0])
+            total += lo - cursor
+        subs.extend(_subs_of(sb, offset=lo))
+        total += _append_nodes(nodes, nb, offset=lo)
+        cursor = hi
+    if cursor < L:
+        nodes.append(["span", cursor, L - 1, 0])
+        total += L - cursor
+    cells = RopeCells(0)
     cells.nodes = nodes
     cells._len = total
     cells._cum = None
-    contig_ba = bytearray(contig.tobytes())
-    return ContigResult(header, contig_ba, cells, subs)
+    return ContigResult(header, bytearray(contig.tobytes()), cells, subs)
+
+
+def polish_contig_pipelined(
+    host_bloom,
+    host_bloomrep,
+    cfg: EngineConfig,
+    header: str,
+    seq: bytes | np.ndarray,
+    gate_chunks,
+    threads: int = 4,
+) -> Optional[ContigResult]:
+    """Segmented repair overlapped with the streaming dense pass.
+
+    ``gate_chunks`` yields (frontier, abs_gates) with every head <
+    frontier final (engine.flag.iter_gate_chunks).  Segments whose closing
+    quiet gap is confirmed are submitted to the repair pool immediately,
+    so the host repairs chunk i while the device still computes chunk
+    i+1's gates.  Output is identical to the sequential scan (same
+    segment/overflow machinery as polish_contig_segmented)."""
+    lib = get_lib()
+    if lib is None or cfg.snv:
+        return None
+    fd = _filters_of(host_bloom, host_bloomrep)
+    if fd is None:
+        return None
+    bf_struct, rep_struct, _keep = fd
+    cfg = cfg.validate()
+    params = _params_of(cfg)
+    seq_bytes = bytes(seq)
+    L = len(seq_bytes)
+    gap, margin = _gap_margin(cfg)
+    contig = np.frombuffer(seq_bytes, dtype=np.uint8).copy()
+    runner = _seg_runner(lib, contig, seq_bytes, bf_struct, rep_struct,
+                         params, margin)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # closed segments accumulate into a bucket; one native call per bucket
+    # (few large calls, not thousands of tiny ones) sized so ~2 buckets per
+    # thread stay in flight against typical gate densities
+    bucket_budget = 16384
+    gbuf = np.empty(0, dtype=np.int64)  # gates not yet assigned to a segment
+    bucket = []                         # closed gate groups awaiting submit
+    bucket_n = 0
+    chunks = []                         # all gate arrays (fallback replay)
+    bounds = []
+    futures = []
+    with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
+
+        def submit_bucket():
+            nonlocal bucket, bucket_n
+            if not bucket:
+                return
+            bgates = np.concatenate(bucket)
+            lo = int(bgates[0])
+            hi = int(min(L, bgates[-1] + gap))
+            bounds.append((lo, hi))
+            futures.append(ex.submit(runner, lo, hi, bgates))
+            bucket = []
+            bucket_n = 0
+
+        for frontier, g in gate_chunks:
+            chunks.append(np.asarray(g, dtype=np.int64))
+            gbuf = np.concatenate([gbuf, chunks[-1]])
+            if not len(gbuf):
+                continue
+            # close every group whose trailing quiet gap is confirmed:
+            # the group's last gate is > gap before the frontier AND > gap
+            # before the next group's first gate
+            splits = np.nonzero(np.diff(gbuf) > gap)[0] + 1
+            groups = np.split(gbuf, splits)
+            closed = list(groups[:-1])
+            last = groups[-1]
+            if len(last) and int(last[-1]) + gap < frontier:
+                closed.append(last)
+                gbuf = np.empty(0, dtype=np.int64)
+            else:
+                gbuf = last
+            for grp in closed:
+                bucket.append(grp)
+                bucket_n += len(grp)
+                if bucket_n >= bucket_budget:
+                    submit_bucket()
+        if len(gbuf):
+            bucket.append(gbuf)
+        submit_bucket()
+        results = [f.result() for f in futures]
+
+    all_gates = (
+        np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+    )
+    if not len(all_gates):
+        cells = RopeCells(L)
+        return ContigResult(header, bytearray(seq_bytes), cells, [])
+    return _finish_segments(
+        lib, header, seq_bytes, contig, all_gates, bf_struct, rep_struct,
+        params, bounds, results,
+    )

@@ -594,6 +594,15 @@ class Oracle:
         return "".join(out)
 
     # -- trial machinery ---------------------------------------------------
+    def _vtrace(self, kind: str, payload: str, check_present: int, med) -> None:
+        """-v per-trial trace, matching the reference's output shape
+        (ntedit.cpp:1524-1530 deletions, 1650-1657 insertions,
+        1982-1990 substitutions)."""
+        line = f"\t\t{kind}: {payload} check_present: {check_present}"
+        if self.bloom.is_counting:
+            line += f" check_present_median_coverage: {median_u8(med)}"
+        print(line)
+
     def _try_deletion(self, draft_char, num_deletions, st, fh, rh):
         """tryDeletion (ntedit.cpp:1451-1545).  Returns (support, deleted)."""
         cfg = self.cfg
@@ -626,8 +635,11 @@ class Oracle:
                     check_present += 1
                     if self.bloom.is_counting:
                         med.append(self.bloom.get_count(hv))
+        deleted_str = "".join(map(chr, deleted))
+        if cfg.verbose:
+            self._vtrace("deleting", deleted_str, check_present, med)
         if check_present >= cfg.present_needed_deletion:
-            return check_present, "".join(map(chr, deleted))
+            return check_present, deleted_str
         return 0, ""
 
     def _try_indels(self, draft_char, index_char, del_state, st, fh, rh, best):
@@ -676,6 +688,8 @@ class Oracle:
                             med.append(self.bloom.get_count(hv))
                 kk += 1
             ins_str = ins[:-1]
+            if cfg.verbose:
+                self._vtrace("inserting", ins_str, check_present, med)
             if check_present >= cfg.present_needed:
                 if cfg.mode == 0:
                     best.update(type=2, indel=ins_str, support=check_present)
@@ -1011,6 +1025,8 @@ class Oracle:
                 else:
                     cell[CHAR] = saved
 
+                if cfg.verbose:
+                    self._vtrace("sub", chr(sub_base), check_present, med)
                 if check_present >= cfg.present_needed:
                     shuffle_best(best, sub_base, check_present)
                     if cfg.mode in (0, 1):

@@ -9,9 +9,13 @@ sequential scan elsewhere — through one of three interchangeable engines,
 all property-tested bit-identical to the scalar spec
 (ntedit_tpu.engine.oracle):
 
-* ``native``  — the C++ sparse-repair engine (native/repair.cpp via
-  ntedit_tpu.engine.native_repair); the production path
-  (tests/test_native_repair.py).
+* ``pipelined`` — the production path: the streaming dense pass
+  (flag.iter_gate_chunks) overlapped with the threaded C++ segment repair
+  (native_repair.polish_contig_pipelined); the device computes chunk i+1's
+  gates while -t host threads repair chunk i's segments.
+* ``native``  — the C++ sparse-repair engine on the complete gate hint
+  (native/repair.cpp via ntedit_tpu.engine.native_repair), threaded over
+  independent segments (tests/test_native_repair.py).
 * ``wavefront`` — batched numpy rounds (ntedit_tpu.engine.wavefront); used
   when the native library is unavailable (tests/test_wavefront.py).
 * ``sequential`` — the oracle itself with gate hints; the always-correct
@@ -58,7 +62,7 @@ class Polisher:
         if engine == "auto":
             from ntedit_tpu.engine import native_repair
 
-            engine = "native" if native_repair.available() else "wavefront"
+            engine = "pipelined" if native_repair.available() else "wavefront"
         self.engine = engine if use_device else "sequential"
         self.df = bloom.DeviceFilter.from_host(host_bloom) if use_device else None
 
@@ -79,18 +83,48 @@ class Polisher:
         )
 
     def polish_contig(self, header: str, seq: np.ndarray) -> ContigResult:
-        hint = self.gate_positions(seq)
-        if self.engine == "native":
+        if self.cfg.verbose:
+            # -v per-trial tracing lives in the sequential spec engine
+            # (matching ntedit.cpp:1524-1530,1650-1657,1982-1990); tracing
+            # is a debugging mode, so the scalar path is the right one
+            return self.oracle.polish_contig(
+                header, bytes(seq), gate_hint=self.gate_positions(seq)
+            )
+        if self.engine == "pipelined" and not self.cfg.snv:
+            # production path: streaming dense pass overlapped with the
+            # threaded segment repair (no upfront full gate pass)
             from ntedit_tpu.engine import native_repair
 
-            res = native_repair.polish_contig_native(
+            res = native_repair.polish_contig_pipelined(
                 self.oracle.bloom, self.oracle.bloomrep, self.cfg,
-                header, seq, gate_hint=hint,
+                header, seq,
+                flag.iter_gate_chunks(
+                    seq, self.df, snv=False,
+                    min_threshold=self.cfg.min_threshold, chunk=self.chunk,
+                ),
+                threads=self.cfg.threads,
             )
             if res is not None:
                 return res
+        hint = self.gate_positions(seq)
+        if self.engine in ("native", "pipelined"):
+            from ntedit_tpu.engine import native_repair
+
+            res = None
+            if hint is not None and not self.cfg.snv and self.cfg.threads > 1:
+                res = native_repair.polish_contig_segmented(
+                    self.oracle.bloom, self.oracle.bloomrep, self.cfg,
+                    header, seq, hint, threads=self.cfg.threads,
+                )
+            if res is None:
+                res = native_repair.polish_contig_native(
+                    self.oracle.bloom, self.oracle.bloomrep, self.cfg,
+                    header, seq, gate_hint=hint,
+                )
+            if res is not None:
+                return res
             # library/filter-layout unavailable: wavefront path
-        if self.engine in ("wavefront", "native") and hint is not None:
+        if self.engine in ("wavefront", "native", "pipelined") and hint is not None:
             from ntedit_tpu.engine import wavefront
 
             if self.cfg.snv:

@@ -226,6 +226,59 @@ def sharded_confirm(mesh: Mesh, W: np.ndarray, words: jnp.ndarray, *, k: int,
     return jax.jit(step)(W, words)
 
 
+def sharded_polish(
+    mesh: Mesh,
+    header: str,
+    draft: np.ndarray,
+    host_bf,
+    words: jnp.ndarray,
+    cfg,
+    chunk: int = 512,
+    threads: Optional[int] = None,
+):
+    """End-to-end sharded polish of one contig.
+
+    1. The contig is tiled into k-1-halo windows sharded over the mesh;
+       the dense flag pass runs per shard against the replicated filter
+       (zero cross-shard communication — SURVEY §5.7 halo design).
+    2. Gate heads are gathered to the host (the record-gather point; on
+       multi-host meshes this is a process-local slice + allgather).
+    3. Repair runs on independent gate-run segments in parallel host
+       threads (native_repair.polish_contig_segmented) — the single-contig
+       analogue of the reference's per-contig OpenMP loop
+       (ntedit.cpp:2213-2250) — and per-segment edit records are merged
+       with coordinate offsets into one ContigResult (the stitcher is the
+       record-merge: SURVEY §2.3, ntedit.cpp:2145-2150 merge point).
+
+    Output is byte-identical to the single-device polish: the flag pass is
+    deterministic per window wherever it runs, and segment repair is exact
+    (tests/test_parallel.py::test_sharded_polish_equals_single).
+    """
+    from ntedit_tpu.engine import native_repair
+    from ntedit_tpu.engine.oracle import Oracle
+
+    k = cfg.k
+    D = mesh.devices.size
+    tiles, n_heads = tile_contig(draft, chunk, k, n_tiles_multiple=D)
+    gate = sharded_flag(
+        mesh, tiles, words, k=k, hash_num=cfg.hash_num, nbits=host_bf.bits,
+        snv=cfg.snv, min_threshold=cfg.min_threshold,
+    )
+    gates = np.nonzero(np.asarray(gate).reshape(-1)[:n_heads])[0].astype(np.int64)
+    if threads is None:
+        threads = max(2, D)
+    res = None
+    if not cfg.snv:
+        res = native_repair.polish_contig_segmented(
+            host_bf, None, cfg, header, bytes(draft), gates, threads=threads
+        )
+    if res is None:  # native lib unavailable or SNV: exact sequential path
+        res = Oracle(host_bf, None, cfg).polish_contig(
+            header, bytes(draft), gate_hint=gates
+        )
+    return res
+
+
 def tile_contig(seq: np.ndarray, chunk: int, k: int, n_tiles_multiple: int = 1):
     """Tile one contig into [T, chunk + k - 1] windows with k-1 halos,
     padding the tail (and T up to a multiple) with zero bytes.  Returns

@@ -171,3 +171,41 @@ def test_cli_version_and_help(capsys):
     with pytest.raises(SystemExit):
         cli.main([])
     assert "polish" in capsys.readouterr().out
+
+
+def test_threads_byte_identical_multi_contig(workdir):
+    """-t 4 polish of a multi-contig draft is byte-identical to -t 1
+    (deterministic input-order output — FIDELITY #6; the reference is
+    completion-order nondeterministic at t>1, ntedit.cpp:2213-2250)."""
+    rng = np.random.default_rng(900)
+    contigs = []
+    pieces = []
+    for c in range(3):
+        truth = simulate.random_genome(12000 + 1000 * c, seed=901 + c)
+        draft, _ = simulate.inject_errors(
+            truth, sub_rate=2e-3, ins_rate=5e-4, del_rate=5e-4, seed=905 + c
+        )
+        contigs.append(truth)
+        pieces.append((f"ctg{c} test", draft.tobytes()))
+    fastx.write_fasta("draft.fa", pieces)
+    bf = bloom.KmerBloomFilter.zeros(1 << 18, 3, 25)
+    for t in contigs:
+        bf.insert_seq(t)
+    bf.save("reads.bf")
+
+    outs = {}
+    for t in (1, 4):
+        cli.main(["engine", "-r", "reads.bf", "-f", "draft.fa",
+                  "-b", f"out_t{t}", "-t", str(t)])
+        blob = b""
+        for suffix in ("_edited.fa", "_changes.tsv", "_variants.vcf"):
+            with open(f"out_t{t}{suffix}", "rb") as f:
+                data = f.read()
+            if suffix == "_variants.vcf":
+                # strip the fileDate header line (timestamp)
+                data = b"\n".join(
+                    l for l in data.split(b"\n") if not l.startswith(b"##fileDate")
+                )
+            blob += data + b"\x00"
+        outs[t] = blob
+    assert outs[1] == outs[4]

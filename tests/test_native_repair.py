@@ -215,3 +215,137 @@ def test_param_validation_rejects_bad_k():
     res = native_repair.polish_contig_native(
         oracle.bloom, None, bad, "ctg", bytes(truth))
     assert res is None
+
+
+# ---------------------------------------------------------------------------
+# Segmented parallel repair == sequential native == oracle
+# ---------------------------------------------------------------------------
+
+def _host_gates(draft, bf, k=25, snv=False):
+    fh, rh = nh.all_window_hashes(draft, k)
+    hashes = nh.extend_hashes_vec(nh.canonical(fh, rh), k, bf.hash_num)
+    if hasattr(bf, "counters"):
+        present = bf.count_hashes(hashes) > 0
+    elif hasattr(bf, "contains_hashes"):
+        present = bf.contains_hashes(hashes)
+    else:
+        present = bf.contains_base(nh.canonical(fh, rh))
+    gate = ~present if not snv else np.ones_like(present)
+    return np.nonzero(gate)[0].astype(np.int64)
+
+
+@pytest.mark.parametrize("threads", [2, 4])
+@pytest.mark.parametrize("seed", [400, 401, 402])
+def test_segmented_equals_sequential(threads, seed):
+    rng = np.random.default_rng(seed)
+    truth = simulate.random_genome(30000, seed=seed)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=3e-3, ins_rate=1e-3, del_rate=1e-3,
+        min_gap=int(rng.integers(30, 120)), seed=seed + 1,
+    )
+    bf = simulate.truth_bf(truth, 25)
+    cfg = EngineConfig(k=25, hash_num=3, mode=int(rng.integers(0, 3)))
+    o = Oracle(bf, None, cfg)
+    gates = _host_gates(draft, bf)
+    seq_res = native_repair.polish_contig_native(
+        o.bloom, None, cfg, "c", bytes(draft), gate_hint=gates)
+    seg_res = native_repair.polish_contig_segmented(
+        o.bloom, None, cfg, "c", bytes(draft), gates, threads=threads)
+    assert seg_res is not None
+    assert seg_res.edited == seq_res.edited
+    assert seg_res.subs == seq_res.subs
+    assert render(seg_res) == render(seq_res)
+
+
+def test_segmented_clustered_errors_one_segment():
+    # errors all within one influence zone: degenerates to one segment
+    truth = simulate.random_genome(5000, seed=420)
+    draft = truth.copy()
+    for p in (2500, 2510, 2520):
+        draft[p] = ord("A") if truth[p] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, 25)
+    cfg = EngineConfig(k=25, hash_num=3)
+    o = Oracle(bf, None, cfg)
+    gates = _host_gates(draft, bf)
+    seq_res = native_repair.polish_contig_native(
+        o.bloom, None, cfg, "c", bytes(draft), gate_hint=gates)
+    seg_res = native_repair.polish_contig_segmented(
+        o.bloom, None, cfg, "c", bytes(draft), gates, threads=4)
+    assert seg_res.edited == seq_res.edited and seg_res.subs == seq_res.subs
+
+
+def test_segmented_no_gates():
+    truth = simulate.random_genome(3000, seed=430)
+    bf = simulate.truth_bf(truth, 25)
+    cfg = EngineConfig(k=25, hash_num=3)
+    o = Oracle(bf, None, cfg)
+    res = native_repair.polish_contig_segmented(
+        o.bloom, None, cfg, "c", bytes(truth), np.zeros(0, np.int64))
+    assert res.edited == truth.tobytes() and res.subs == []
+
+
+def test_segmented_mask_and_cbf():
+    truth = simulate.random_genome(20000, seed=440)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=2e-3, ins_rate=0, del_rate=0, seed=441)
+    cbf = bloom.KmerCountingBloomFilter8.zeros(1 << 18, 3, 25)
+    fh, rh = nh.all_window_hashes(truth, 25)
+    hashes = nh.extend_hashes_vec(nh.canonical(fh, rh), 25, 3)
+    for _ in range(4):
+        cbf.insert_hashes(hashes)
+    cfg = EngineConfig(k=25, hash_num=3, min_threshold=2, mask=True)
+    o = Oracle(cbf, None, cfg)
+    # CBF gate: count < min_threshold also gates
+    dfh, drh = nh.all_window_hashes(draft, 25)
+    counts = cbf.count_hashes(nh.extend_hashes_vec(nh.canonical(dfh, drh), 25, 3))
+    gates = np.nonzero(counts < 2)[0].astype(np.int64)
+    seq_res = native_repair.polish_contig_native(
+        o.bloom, None, cfg, "c", bytes(draft), gate_hint=gates)
+    seg_res = native_repair.polish_contig_segmented(
+        o.bloom, None, cfg, "c", bytes(draft), gates, threads=4)
+    assert seg_res.edited == seq_res.edited and seg_res.subs == seq_res.subs
+    assert render(seg_res) == render(seq_res)
+
+
+def test_pipelined_equals_sequential():
+    """The streaming pipelined path (chunked gate feed + overlapped segment
+    repair) must match the one-shot sequential native scan exactly."""
+    truth = simulate.random_genome(50000, seed=500)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=2e-3, ins_rate=5e-4, del_rate=5e-4, seed=501)
+    bf = simulate.truth_bf(truth, 25)
+    cfg = EngineConfig(k=25, hash_num=3)
+    o = Oracle(bf, None, cfg)
+    gates = _host_gates(draft, bf)
+    seq_res = native_repair.polish_contig_native(
+        o.bloom, None, cfg, "c", bytes(draft), gate_hint=gates)
+
+    def chunk_feed(chunk=4096):
+        n = len(draft) - 24
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            sel = gates[(gates >= start) & (gates < end)]
+            yield end, sel
+
+    pip = native_repair.polish_contig_pipelined(
+        o.bloom, None, cfg, "c", bytes(draft), chunk_feed(), threads=4)
+    assert pip is not None
+    assert pip.edited == seq_res.edited
+    assert pip.subs == seq_res.subs
+    assert render(pip) == render(seq_res)
+
+
+def test_polisher_pipelined_end_to_end():
+    """Polisher default engine (pipelined) through the device gate pass ==
+    sequential oracle engine, rendered outputs byte-identical."""
+    from ntedit_tpu.engine.polish import Polisher
+
+    wl = simulate.make_workload(length=30000, k=25, seed=510)
+    cfg = EngineConfig(k=wl.bf.k, hash_num=wl.bf.hash_num)
+    pol = Polisher(wl.bf, cfg=cfg)
+    assert pol.engine == "pipelined"
+    fast = pol.polish_contig("ctg", np.asarray(wl.draft))
+    slow = Oracle(wl.bf, None, cfg).polish_contig("ctg", bytes(wl.draft))
+    assert fast.edited == slow.edited
+    assert fast.subs == slow.subs
+    assert render(fast) == render(slow)

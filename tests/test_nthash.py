@@ -212,3 +212,34 @@ class TestJaxParity:
         want_f, want_r = ref.all_window_hashes(seq, k)
         np.testing.assert_array_equal(self.u.to_np(fh), want_f[starts])
         np.testing.assert_array_equal(self.u.to_np(rh), want_r[starts])
+
+
+def test_canonical_rc_invariance_bulk():
+    """hash(kmer) == hash(revcomp(kmer)) for every window — the defining
+    external property of canonical ntHash (verifiable without btllib
+    artifacts; complements the published-constant pinning above)."""
+    from ntedit_tpu.utils import simulate
+
+    seq = simulate.random_genome(3000, seed=77)
+    k = 25
+    fh, rh = ref.all_window_hashes(seq, k)
+    can = ref.canonical(fh, rh)
+    rc_map = np.zeros(256, np.uint8)
+    for a, b in zip(b"ACGT", b"TGCA"):
+        rc_map[a] = b
+    rc = rc_map[seq][::-1].copy()
+    fh2, rh2 = ref.all_window_hashes(rc, k)
+    can2 = ref.canonical(fh2, rh2)[::-1]
+    np.testing.assert_array_equal(can, can2)
+
+
+def test_published_seed_constants():
+    """The per-base seeds and NTM64 mixing constants are the published
+    ntHash values (the only offline-verifiable external anchor; FIDELITY
+    #9 documents why byte-level btllib artifacts are unavailable here)."""
+    assert ref.SEED_TAB[ord("A")] == np.uint64(0x3C8BFBB395C60474)
+    assert ref.SEED_TAB[ord("C")] == np.uint64(0x3193C18562A02B4C)
+    assert ref.SEED_TAB[ord("G")] == np.uint64(0x20323ED082572324)
+    assert ref.SEED_TAB[ord("T")] == np.uint64(0x295549F54BE24456)
+    assert ref.MULTISEED == np.uint64(0x90B45D39FB6DA1FA)
+    assert int(ref.MULTISHIFT) == 27

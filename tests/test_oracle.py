@@ -237,3 +237,22 @@ class TestSecondaryBF:
         res = run_oracle(draft, bf, bfrep=rep)
         # fix is blocked because every candidate kmer is "repeat"
         assert res.edited == draft.tobytes()
+
+
+def test_verbose_trial_trace(capsys):
+    """-v prints the per-trial supports in the reference's shape
+    (ntedit.cpp:1982-1990 substitutions, 1650-1657 insertions,
+    1524-1530 deletions)."""
+    from ntedit_tpu.utils import simulate
+
+    truth = simulate.random_genome(2000, seed=70)
+    draft = truth.copy()
+    draft[1000] = ord("A") if truth[1000] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, 25)
+    cfg = EngineConfig(k=25, hash_num=3, verbose=True)
+    res = Oracle(bf, None, cfg).polish_contig("ctg", bytes(draft))
+    out = capsys.readouterr().out
+    assert len(res.subs) == 1
+    assert "\t\tsub: " in out and " check_present: " in out
+    # the accepted substitution's support appears on its trace line
+    assert f"check_present: {res.subs[0].num_support}" in out

@@ -83,3 +83,58 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_polish_equals_single():
+    """End-to-end 8-shard polish == 1-device polish, byte-identical
+    rendered outputs (VERDICT r1 item 5 acceptance)."""
+    import io
+
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+    from ntedit_tpu.io import writers
+
+    def render(result):
+        d, r, v = io.StringIO(), io.StringIO(), io.StringIO()
+        writers.write_contig(result, d, r, v)
+        return d.getvalue() + "\x00" + r.getvalue() + "\x00" + v.getvalue()
+
+    truth = simulate.random_genome(20000, seed=60)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=3e-3, ins_rate=1e-3, del_rate=1e-3, seed=61
+    )
+    host = bloom.KmerBloomFilter.zeros(NBITS // 8, H, K)
+    host.insert_seq(truth)
+    words = bloom._pack_words(host.data)
+    cfg = EngineConfig(k=K, hash_num=H)
+
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.sharded_polish(mesh, "ctg", draft, host, words, cfg)
+
+    single = Polisher(host, cfg=cfg, use_device=False)
+    single.engine = "sequential"
+    ref = single.polish_contig("ctg", draft)
+
+    assert sharded.edited == ref.edited
+    assert sharded.subs == ref.subs
+    assert render(sharded) == render(ref)
+
+
+def test_sharded_polish_mesh_sizes():
+    """2-shard == 4-shard == 8-shard polish (merge is mesh-size blind)."""
+    truth = simulate.random_genome(12000, seed=62)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=3e-3, ins_rate=1e-3, del_rate=1e-3, seed=63
+    )
+    host = bloom.KmerBloomFilter.zeros(NBITS // 8, H, K)
+    host.insert_seq(truth)
+    words = bloom._pack_words(host.data)
+    from ntedit_tpu.engine.config import EngineConfig
+
+    cfg = EngineConfig(k=K, hash_num=H)
+    outs = []
+    for d in (2, 4, 8):
+        mesh = pmesh.make_mesh(d)
+        res = pmesh.sharded_polish(mesh, "ctg", draft, host, words, cfg)
+        outs.append((res.edited, res.subs))
+    assert outs[0] == outs[1] == outs[2]
