@@ -210,11 +210,12 @@ def main():
         sl = 1_000_000
         tr_s = truth[:sl]
         dr_s = draft[:sl]
-        # SNV mode
+        # SNV mode through the device candidate fast path
         cfg_snv = EngineConfig(k=K, hash_num=3, snv=True)
+        pol_snv = Polisher(bf, None, cfg_snv)
+        rs = pol_snv.polish_contig("s", dr_s)  # warm (compile)
         t5 = time.time()
-        rs = native_repair.polish_contig_native(
-            pol.oracle.bloom, None, cfg_snv, "s", dr_s)
+        rs = pol_snv.polish_contig("s", dr_s)
         log(json.dumps({"metric": "bases_snv_per_sec_chip_1mbp",
                         "value": round(sl / (time.time() - t5), 1),
                         "unit": "bases/s", "records": len(rs.subs)}))

@@ -166,6 +166,10 @@ def _run_engine(
          open(prefix + "_variants.vcf", "w") as vfout:
         rfout.write(writers.changes_tsv_header(k, j, counting))
         vfout.write(writers.vcf_header(draft_path))
+        t0 = time.time()
+        total_bases = 0
+        n_contigs = 0
+        n_records = 0
         for rec in fastx.read_fastx(draft_path):
             if len(rec.seq) < cfg.min_contig_len:
                 continue  # read but not polished/emitted (ntedit.cpp:2242)
@@ -173,6 +177,17 @@ def _run_engine(
                 print(rec.header, flush=True)
             res = pol.polish_contig(rec.header, rec.seq)
             writers.write_contig(res, dfout, rfout, vfout, clinvar, snv=cfg.snv)
+            total_bases += len(rec.seq)
+            n_contigs += 1
+            n_records += len(res.subs)
+    dt = max(time.time() - t0, 1e-9)
+    # per-stage throughput counter (observability parity: the reference
+    # wraps stages in GNU time, ntedit_run_pipeline.smk:78-81)
+    print(
+        f"engine: {n_contigs} contigs, {total_bases:,} bp in {dt:.2f}s "
+        f"({total_bases / dt:,.0f} bp/s), {n_records} records",
+        flush=True,
+    )
     return prefix
 
 
@@ -211,6 +226,15 @@ def _reads_filter_stages(stages, reads_prefix, k, cutoff, solid, fpr, cbf=False)
 
 
 def cmd_polish(args) -> None:
+    if args.cap is not None:
+        # the reference unconditionally overrides -c with k*1.5 after the
+        # BF loads (ntedit.cpp:2450-2451) — the flag is dead in v2.1.1;
+        # accepted for CLI parity, warned, and ignored (FIDELITY.md #7)
+        print(
+            "warning: --cap has no effect (the v2.1.1 engine overrides the "
+            "insertion cap to k*1.5; see FIDELITY.md #7)",
+            file=sys.stderr, flush=True,
+        )
     stages = Stages(args.force, args.dry_run)
     bf_path = _reads_filter_stages(
         stages, args.reads, args.k, args.cutoff, args.solid, args.e,
@@ -289,6 +313,12 @@ def cmd_snv(args) -> None:
 
 
 def cmd_engine(args) -> None:
+    if getattr(args, "c", None) is not None:
+        print(
+            "warning: -c has no effect (the v2.1.1 engine overrides the "
+            "insertion cap to k*1.5; see FIDELITY.md #7)",
+            file=sys.stderr, flush=True,
+        )
     _run_engine(
         args.r, args.f, args.b, reject_path=args.e_bf, vcf_path=args.l,
         threads=args.t, z=args.z, i=args.i, d=args.d, x=args.x, y=args.y,

@@ -193,6 +193,85 @@ def flag_contig_gates(
     return packed_to_positions(words, n)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def snv_candidates_chunk(seq, df: bloom.DeviceFilter, k: int):
+    """SNV candidate bitmap for one chunk, packed to uint32 words.
+
+    SNV mode re-tests every position, but a position can only produce a
+    record (or an edit) when at least one alternate base passes the
+    pre-check — the substituted k-mer itself present and solid
+    (ntedit.cpp:1923-1928; with a plain filter and no reject BF, solid is
+    always true).  That pre-check is a last-base-replacement rehash
+    (NTMC64_changelast, ntedit.cpp:434-452) — pure elementwise XOR algebra
+    — so it runs densely on device for all four bases at once; positions
+    with no passing alternate are provably no-ops and the host engine
+    skips them via the hint.  Caller guarantees: non-counting filter, no
+    reject BF, mode != 2, mask off (those paths fall back to the full
+    scan)."""
+    from ntedit_tpu.utils import u64
+
+    fh, rh = nt.window_hashes.__wrapped__(seq, k)
+    n = seq.shape[0] - k + 1
+    tail = seq[k - 1 : k - 1 + n]
+    # changelast removes the draft tail seed and inserts the alternate's:
+    # forward: fh ^ seed(draft) ^ seed(alt);
+    # reverse: rh ^ srol^{k-1}(cseed(draft)) ^ srol^{k-1}(cseed(alt))
+    sd = nt.seed_of(tail)
+    csd = u64.srol_const(nt.cseed_of(tail), k - 1)
+    fh_x = u64.xor(fh, sd)
+    rh_x = u64.xor(rh, csd)
+    fold = tail.astype(jnp.int32) & 0xDF
+    is_acgt = (
+        (fold == ord("A")) | (fold == ord("C"))
+        | (fold == ord("G")) | (fold == ord("T"))
+    )
+    cand = jnp.zeros(n, dtype=bool)
+    from ntedit_tpu.core import nthash_ref as _ref
+
+    for b in b"ACGT":
+        sb = int(_ref.SEED_TAB[b])
+        csb = int(_ref.srol_vec(
+            np.asarray([_ref.SEED_TAB[b & nt.CP_OFF]]),
+            np.asarray([(k - 1) % nt.SROL_PERIOD]))[0])
+        fhb = (fh_x[0] ^ np.uint32(sb >> 32), fh_x[1] ^ np.uint32(sb & 0xFFFFFFFF))
+        rhb = (rh_x[0] ^ np.uint32(csb >> 32), rh_x[1] ^ np.uint32(csb & 0xFFFFFFFF))
+        can = nt.canonical(fhb, rhb)
+        hashes = [can] if df.blocked else nt.extend(can, k, df.hash_num)
+        present = df.contains(hashes)
+        # SNV alternates: ACGT draft -> the 3 other bases; accepted IUPAC
+        # draft -> all four (snv_bases_array, ntedit.cpp:190-199)
+        allowed = (~is_acgt) | (fold != b)
+        cand = cand | (allowed & present)
+    valid = _window_all(_accepted(seq), k, n)
+    g = cand & valid
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    bts = g.reshape(-1, 32).astype(jnp.uint32)
+    return (bts << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
+
+
+def snv_candidate_positions(
+    seq: np.ndarray, df: bloom.DeviceFilter, chunk: int = DEFAULT_CHUNK
+) -> np.ndarray:
+    """Candidate head positions for the SNV fast path (see
+    snv_candidates_chunk).  Same chunked async driver as the polish gate
+    pass."""
+    k = df.k
+    L = len(seq)
+    n = L - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    pad_total = (-n) % chunk
+    padded = np.concatenate(
+        [np.asarray(seq, dtype=np.uint8), np.zeros(pad_total + k - 1, np.uint8)]
+    )
+    outs = []
+    for start in range(0, n, chunk):
+        piece = jnp.asarray(padded[start : start + chunk + k - 1])
+        outs.append(snv_candidates_chunk(piece, df, k))
+    words_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return packed_to_positions(np.asarray(words_dev), n)
+
+
 def iter_gate_chunks(
     seq: np.ndarray,
     df: bloom.DeviceFilter,

@@ -344,6 +344,7 @@ def polish_contig_segmented(
     seq: bytes | np.ndarray,
     gates: np.ndarray,
     threads: int = 4,
+    allow_snv: bool = False,
 ) -> Optional[ContigResult]:
     """Parallel exact repair: independent gate-run segments in threads.
 
@@ -352,12 +353,17 @@ def polish_contig_segmented(
     segment's repair is the sequential engine on its slice, and an
     overflow guard falls back to the whole-contig sequential run if a
     segment's activity ever reaches its right margin (pathological edit
-    cascades).  Returns None when the native library is unavailable."""
+    cascades).  Returns None when the native library is unavailable.
+
+    ``allow_snv``: SNV mode gates every head, so hint-based segmentation
+    is only sound when the hints are the device-derived CANDIDATE set
+    (flag.snv_candidate_positions — positions between candidates are
+    provably no-ops); the Polisher sets this after checking eligibility."""
     lib = get_lib()
     if lib is None:
         return None
-    if cfg.snv:
-        return None  # SNV gates every head: no quiet gaps to cut at
+    if cfg.snv and not allow_snv:
+        return None  # raw SNV gates every head: no quiet gaps to cut at
     fd = _filters_of(host_bloom, host_bloomrep)
     if fd is None:
         return None

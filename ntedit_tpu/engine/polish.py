@@ -66,6 +66,21 @@ class Polisher:
         self.engine = engine if use_device else "sequential"
         self.df = bloom.DeviceFilter.from_host(host_bloom) if use_device else None
 
+    def _snv_fast_eligible(self) -> bool:
+        """The SNV candidate hint is exact only when the alternate
+        pre-check (contains && solid) is computable on device and gating
+        decisions cannot arise elsewhere: non-counting filter, no reject
+        BF, mode != 2 (mode 2 bypasses the pre-check), mask off (masking
+        touches every no-fix position)."""
+        return (
+            self.use_device
+            and self.df is not None
+            and not self.df.counting
+            and self.bloomrep is None
+            and self.cfg.mode != 2
+            and not self.cfg.mask
+        )
+
     def gate_positions(self, seq: np.ndarray) -> Optional[np.ndarray]:
         if not self.use_device:
             return None
@@ -104,6 +119,30 @@ class Polisher:
                 ),
                 threads=self.cfg.threads,
             )
+            if res is not None:
+                return res
+        if (
+            self.engine in ("native", "pipelined")
+            and self.cfg.snv
+            and self._snv_fast_eligible()
+        ):
+            # SNV fast path: positions where no alternate's k-mer is even
+            # present are provably no-ops (no record, no edit), so the
+            # device-computed candidate set is an exact hint
+            from ntedit_tpu.engine import native_repair
+
+            cand = flag.snv_candidate_positions(seq, self.df, chunk=self.chunk)
+            res = None
+            if self.cfg.threads > 1:
+                res = native_repair.polish_contig_segmented(
+                    self.oracle.bloom, None, self.cfg, header, seq, cand,
+                    threads=self.cfg.threads, allow_snv=True,
+                )
+            if res is None:
+                res = native_repair.polish_contig_native(
+                    self.oracle.bloom, None, self.cfg, header, seq,
+                    gate_hint=cand,
+                )
             if res is not None:
                 return res
         hint = self.gate_positions(seq)

@@ -349,3 +349,71 @@ def test_polisher_pipelined_end_to_end():
     assert fast.edited == slow.edited
     assert fast.subs == slow.subs
     assert render(fast) == render(slow)
+
+
+# ---------------------------------------------------------------------------
+# SNV fast path: device candidate hints == full SNV scan
+# ---------------------------------------------------------------------------
+
+def _snv_polisher(bf, **cfg_kw):
+    from ntedit_tpu.engine.polish import Polisher
+
+    cfg = EngineConfig(k=bf.k, hash_num=bf.hash_num, snv=True, **cfg_kw)
+    return Polisher(bf, cfg=cfg)
+
+
+@pytest.mark.parametrize("seed", [600, 601, 602])
+def test_snv_fast_path_equals_oracle(seed):
+    rng = np.random.default_rng(seed)
+    truth = simulate.random_genome(15000, seed=seed)
+    variant = truth.copy()
+    # scattered variants plus a clustered pair within k (exercises the
+    # dirty-window live re-evaluation after an SNV substitution edit)
+    sites = list(rng.choice(np.arange(100, 14900), size=12, replace=False))
+    sites += [7000, 7010]
+    for p in sites:
+        variant[p] = ord("A") if variant[p] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, 25)
+    bf.insert_seq(variant)
+    pol = _snv_polisher(bf)
+    assert pol._snv_fast_eligible()
+    fast = pol.polish_contig("ctg", truth)
+    cfg = EngineConfig(k=25, hash_num=3, snv=True)
+    slow = Oracle(bf, None, cfg).polish_contig("ctg", bytes(truth))
+    assert fast.edited == slow.edited
+    assert fast.subs == slow.subs
+    assert render(fast, snv=True) == render(slow, snv=True)
+    assert len(fast.subs) > 0
+
+
+def test_snv_fast_path_iupac_and_lowercase():
+    truth = simulate.random_genome(4000, seed=610)
+    draft = truth.copy()
+    draft[1500] = ord("R")   # IUPAC draft base: all four alternates tried
+    draft[2000:2100] += 32   # lowercase region
+    variant = truth.copy()
+    variant[2050] = ord("A") if truth[2050] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, 25)
+    bf.insert_seq(variant)
+    pol = _snv_polisher(bf)
+    fast = pol.polish_contig("ctg", draft)
+    cfg = EngineConfig(k=25, hash_num=3, snv=True)
+    slow = Oracle(bf, None, cfg).polish_contig("ctg", bytes(draft))
+    assert fast.edited == slow.edited and fast.subs == slow.subs
+
+
+def test_snv_fast_path_ineligible_falls_back():
+    """mode 2 / mask / CBF / reject BF configs must not use the candidate
+    hint (it would under-approximate) — and still match the oracle."""
+    truth = simulate.random_genome(3000, seed=620)
+    variant = truth.copy()
+    variant[1500] = ord("A") if truth[1500] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, 25)
+    bf.insert_seq(variant)
+    for kw in ({"mode": 2}, {"mask": True}):
+        pol = _snv_polisher(bf, **kw)
+        assert not pol._snv_fast_eligible()
+        fast = pol.polish_contig("ctg", truth)
+        cfg = EngineConfig(k=25, hash_num=3, snv=True, **kw)
+        slow = Oracle(bf, None, cfg).polish_contig("ctg", bytes(truth))
+        assert fast.edited == slow.edited and fast.subs == slow.subs
