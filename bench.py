@@ -40,12 +40,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measured_cpp_baseline():
+def measured_cpp_baseline(key: str = "bases_per_sec"):
     path = os.path.join(HERE, "native", "baseline.json")
     if os.path.exists(path):
         try:
             with open(path) as f:
-                return float(json.load(f)["bases_per_sec"])
+                return float(json.load(f)[key])
         except Exception:
             return None
     return None
@@ -167,8 +167,12 @@ def main():
     # engine has the same failure modes; see VERDICT r1 item 2)
 
     # --- three-way output identity on the SAME btllib-layout filter:
-    # C++ scalar baseline == native repair == wavefront ---
+    # C++ scalar baseline == native repair == wavefront.  The baseline
+    # binary is also TIMED here (median of 3): this host's CPU speed
+    # varies run to run, so the honest denominator is measured at the
+    # same moment as our own numbers ---
     three_way = None
+    baseline_live = None
     binary = os.path.join(HERE, "native", "ntedit_baseline")
     if os.path.exists(binary):
         pbf = bloom.KmerBloomFilter.zeros(nbytes, 3, K)
@@ -180,7 +184,12 @@ def main():
             bfp = os.path.join(td, "t.bf")
             pbf.save(bfp)
             ed = os.path.join(td, "edited.txt")
-            out = subprocess.check_output([binary, fa, bfp, ed]).decode()
+            runs = []
+            for _ in range(3):
+                out = subprocess.check_output([binary, fa, bfp, ed]).decode()
+                runs.append(json.loads(out))
+            base_stats = sorted(runs, key=lambda r: r["seconds"])[1]
+            baseline_live = float(base_stats["bases_per_sec"])
             with open(ed, "rb") as f:
                 base_edited = f.read().rstrip(b"\n")
         from ntedit_tpu.core import nthash_ref as nh
@@ -197,7 +206,8 @@ def main():
         rw = wavefront.polish_contig_wavefront(o, "c", bytes(draft), gates)
         three_way = (rn.edited == rw.edited == base_edited)
         log(f"# three-way identity (plain BF): baseline.cpp == native == "
-            f"wavefront: {three_way} (baseline {json.loads(out)['seconds']}s)")
+            f"wavefront: {three_way} (baseline {base_stats['seconds']}s = "
+            f"{baseline_live:,.0f} bp/s live)")
         if not three_way:
             log(f"#   native==wavefront: {rn.edited == rw.edited}; "
                 f"native==baseline: {rn.edited == base_edited}; "
@@ -235,7 +245,85 @@ def main():
     except Exception as exc:  # side benches must never sink the headline
         log(f"# mode-family benches skipped: {exc}")
 
-    baseline = measured_cpp_baseline() or BASELINE_BASES_PER_SEC
+    # --- human-chromosome-scale throughput (50 Mbp): amortizes the
+    # tunnel's fixed per-run sync cost (~100 ms regardless of size; see
+    # PERF.md) — the scale regime the >10x target is about.  The C++
+    # baseline runs on the SAME 50 Mbp workload (its 128 MiB filter
+    # misses cache exactly like ours), timed live ---
+    baseline = baseline_live or measured_cpp_baseline() or BASELINE_BASES_PER_SEC
+    scale_vs = None
+    try:
+        from ntedit_tpu.core import bfbuild
+
+        SCALE = 50_000_000
+        t7 = time.time()
+        truth50 = simulate.random_genome(SCALE, seed=52)
+        draft50, _ = simulate.inject_errors(
+            truth50, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=53
+        )
+        # blocked-filter bit indices are int32 on device: cap at 2^30 bits
+        # (128 MiB, FPR ~0.004 at 50 M k-mers — fine for a throughput bench)
+        nbits50 = min(bloom.pow2_size_bytes(SCALE, 3, 0.001) * 8, 1 << 30)
+        builder = bfbuild.DeviceFilterBuilder(K, 3, nbits50, 1 << 10)
+        B = bfbuild._DEV_BATCH
+        for s in range(0, SCALE, B):
+            builder.insert_batch(truth50[s : min(SCALE, s + B + K - 1)], 1)
+        bf50 = builder.finish()
+        pol50 = Polisher(bf50, None, cfg)
+        log(f"# scale setup {time.time()-t7:.1f}s: 50 Mbp draft, "
+            f"BF {nbits50>>23} MiB (device-built)")
+        r50 = pol50.polish_contig("chr", draft50)  # warm
+        t8 = time.time()
+        r50 = pol50.polish_contig("chr", draft50)
+        dt50 = time.time() - t8
+        baseline50 = None
+        if os.path.exists(binary):
+            try:
+                import jax.numpy as jnp
+
+                from ntedit_tpu.parallel import mesh as pmesh
+
+                import jax
+
+                acc = None
+                or_ = jax.jit(jnp.bitwise_or)
+                for s in range(0, SCALE, B):
+                    row = np.zeros(B + K - 1, dtype=np.uint8)
+                    chunk50 = truth50[s : min(SCALE, s + B + K - 1)]
+                    row[: len(chunk50)] = chunk50
+                    w = pmesh.build_bf_words(jnp.asarray(row[None]), K, 3, nbits50)
+                    acc = w if acc is None else or_(acc, w)
+                pbf50 = bloom.KmerBloomFilter(
+                    np.asarray(acc).view(np.uint8).copy(), 3, K
+                )
+                with tempfile.TemporaryDirectory() as td:
+                    fa = os.path.join(td, "d50.fa")
+                    with open(fa, "w") as f:
+                        f.write(">c\n" + draft50.tobytes().decode() + "\n")
+                    bfp = os.path.join(td, "t50.bf")
+                    pbf50.save(bfp)
+                    out50 = subprocess.check_output([binary, fa, bfp]).decode()
+                stats50 = json.loads(out50)
+                baseline50 = float(stats50["bases_per_sec"])
+                log(f"# 50 Mbp C++ baseline (live): {baseline50:,.0f} bp/s "
+                    f"({stats50['seconds']}s)")
+            except Exception as exc:
+                log(f"# 50 Mbp baseline measurement skipped: {exc}")
+        baseline50 = (
+            baseline50
+            or measured_cpp_baseline("bases_per_sec_50mbp")
+            or baseline
+        )
+        scale_vs = round(SCALE / dt50 / baseline50, 2)
+        log(json.dumps({
+            "metric": "bases_polished_per_sec_chip_50mbp_k25",
+            "value": round(SCALE / dt50, 1), "unit": "bases/s",
+            "vs_baseline": scale_vs, "edits": len(r50.subs),
+            "wall_ms": round(dt50 * 1e3, 1),
+        }))
+    except Exception as exc:
+        log(f"# 50 Mbp scale bench skipped: {exc}")
+
     print(json.dumps({
         "metric": "bases_polished_per_sec_chip_ecoli_k25",
         "value": round(bases_per_sec, 1),
@@ -245,6 +333,7 @@ def main():
         "three_way_identical": three_way,
         "gate_ms": round(stage_gate * 1e3, 1),
         "repair_ms": round(stage_repair * 1e3, 1),
+        "scale_50mbp_vs_baseline": scale_vs,
     }))
 
 

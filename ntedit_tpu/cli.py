@@ -170,16 +170,21 @@ def _run_engine(
         total_bases = 0
         n_contigs = 0
         n_records = 0
-        for rec in fastx.read_fastx(draft_path):
-            if len(rec.seq) < cfg.min_contig_len:
-                continue  # read but not polished/emitted (ntedit.cpp:2242)
-            if v:
-                print(rec.header, flush=True)
-            res = pol.polish_contig(rec.header, rec.seq)
-            writers.write_contig(res, dfout, rfout, vfout, clinvar, snv=cfg.snv)
-            total_bases += len(rec.seq)
-            n_contigs += 1
-            n_records += len(res.subs)
+        from ntedit_tpu.utils.profiling import trace
+
+        with trace():  # device trace when NTEDIT_TPU_TRACE is set
+            for rec in fastx.read_fastx(draft_path):
+                if len(rec.seq) < cfg.min_contig_len:
+                    continue  # read but not polished/emitted (ntedit.cpp:2242)
+                if v:
+                    print(rec.header, flush=True)
+                res = pol.polish_contig(rec.header, rec.seq)
+                writers.write_contig(
+                    res, dfout, rfout, vfout, clinvar, snv=cfg.snv
+                )
+                total_bases += len(rec.seq)
+                n_contigs += 1
+                n_records += len(res.subs)
     dt = max(time.time() - t0, 1e-9)
     # per-stage throughput counter (observability parity: the reference
     # wraps stages in GNU time, ntedit_run_pipeline.smk:78-81)

@@ -119,33 +119,6 @@ def flag_chunk_packed(seq, df: bloom.DeviceFilter, k: int, snv: bool,
     return (b << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("k", "snv", "min_threshold"))
-def flag_tiles_packed(tiles, df: bloom.DeviceFilter, k: int, snv: bool,
-                      min_threshold: int):
-    """Batched flag_chunk_packed over [T, C + k - 1] tiles in ONE dispatch.
-
-    The chunked driver (flag_contig_gates) previously issued one device
-    call per chunk; on a tunneled TPU backend the per-dispatch round trip
-    dominates the dense pass.  vmapping the whole contig's tiles into a
-    single program removes T-1 round trips.  Returns [T, C/32] packed gate
-    words."""
-    return jax.vmap(
-        lambda s: flag_chunk_packed(s, df, k, snv, min_threshold)
-    )(tiles)
-
-
-def _tile(seq: np.ndarray, n: int, k: int, chunk: int) -> np.ndarray:
-    """[L] draft -> [T, chunk + k - 1] overlapping tiles covering all n
-    window heads (tail zero-padded)."""
-    T = -(-n // chunk)
-    padded = np.zeros(T * chunk + k - 1, dtype=np.uint8)
-    padded[: len(seq)] = seq
-    # overlapping windows: stride_tricks view then copy (device upload
-    # needs contiguous memory anyway)
-    sw = np.lib.stride_tricks.sliding_window_view(padded, chunk + k - 1)
-    return np.ascontiguousarray(sw[::chunk])
-
-
 def packed_to_positions(words: np.ndarray, n: int) -> np.ndarray:
     """Little-endian packed gate words -> sorted gate head positions < n.
     Gates are sparse (~0.1-3% of heads): touch only the nonzero words."""

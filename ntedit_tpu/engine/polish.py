@@ -185,7 +185,38 @@ class Polisher:
     ) -> Iterator[ContigResult]:
         """Polish a stream of (header, seq) contigs.  Contigs shorter than
         min_contig_len are read but produce no output (reference behaviour,
-        ntedit.cpp:2242-2245)."""
-        for header, seq in contigs:
-            if len(seq) >= self.cfg.min_contig_len:
-                yield self.polish_contig(header, seq)
+        ntedit.cpp:2242-2245).
+
+        With the native engine and -t > 1, contigs overlap two deep (the
+        next contig's dense pass dispatches while the current one repairs)
+        — the reference's per-contig OpenMP parallelism
+        (ntedit.cpp:2213-2250) without its completion-order
+        nondeterminism: results are yielded strictly in input order
+        (FIDELITY #6)."""
+        overlap = (
+            self.engine in ("native", "pipelined")
+            and self.cfg.threads > 1
+            and not self.cfg.verbose
+        )
+        if overlap:
+            from ntedit_tpu.engine import native_repair
+
+            overlap = native_repair.available()  # fallbacks mutate oracle
+        if not overlap:
+            for header, seq in contigs:
+                if len(seq) >= self.cfg.min_contig_len:
+                    yield self.polish_contig(header, seq)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            pending = deque()
+            for header, seq in contigs:
+                if len(seq) < self.cfg.min_contig_len:
+                    continue
+                pending.append(ex.submit(self.polish_contig, header, seq))
+                while len(pending) > 2:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()

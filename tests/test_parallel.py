@@ -138,3 +138,14 @@ def test_sharded_polish_mesh_sizes():
         res = pmesh.sharded_polish(mesh, "ctg", draft, host, words, cfg)
         outs.append((res.edited, res.subs))
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_distributed_single_process_identity():
+    """Multi-host helpers degrade to identity in a single process; the
+    work-slice covers everything exactly once across processes."""
+    from ntedit_tpu.parallel import distributed as dist
+
+    dist.initialize()  # no-op single process
+    assert dist.process_slice(10) == slice(0, 10)
+    recs = [("ctg1", [1, 2]), ("ctg2", [3])]
+    assert dist.gather_records(recs) == recs

@@ -137,3 +137,35 @@ class TestEquivalence:
         assert len(out) == 3
         for res, t in zip(out, truths):
             assert res.edited == t.tobytes()
+
+
+def test_polish_stream_overlapped_matches_serial():
+    """Cross-contig overlapped polish == serial polish, input order kept."""
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+    from ntedit_tpu.utils import simulate
+    import numpy as np
+
+    contigs = []
+    bf = None
+    from ntedit_tpu.core import bloom as _bloom
+
+    bf = _bloom.KmerBloomFilter.zeros(1 << 17, 3, 25)
+    for c in range(5):
+        truth = simulate.random_genome(6000 + 500 * c, seed=700 + c)
+        draft, _ = simulate.inject_errors(
+            truth, sub_rate=2e-3, ins_rate=5e-4, del_rate=5e-4, seed=710 + c
+        )
+        bf.insert_seq(truth)
+        contigs.append((f"ctg{c}", draft))
+    contigs.append(("tiny", simulate.random_genome(50, seed=720)))  # dropped
+
+    cfg = EngineConfig(k=25, hash_num=3, threads=4)
+    pol = Polisher(bf, cfg=cfg)
+    streamed = list(pol.polish(iter(contigs)))
+    serial = [
+        pol.polish_contig(h, s) for h, s in contigs if len(s) >= 100
+    ]
+    assert [r.header for r in streamed] == [r.header for r in serial]
+    assert [r.edited for r in streamed] == [r.edited for r in serial]
+    assert [r.subs for r in streamed] == [r.subs for r in serial]
