@@ -82,11 +82,21 @@ class Polisher:
         )
 
     def gate_positions(self, seq: np.ndarray) -> Optional[np.ndarray]:
+        """One-shot dense gate pass (the streaming variant is
+        flag.iter_gate_chunks, used by the pipelined engine).  The fused
+        Pallas prep kernel (ops.flag_kernel.flag_contig_gates_pallas)
+        computes the same gates — equivalence-tested — but its execution
+        stalls intermittently on tunneled backends, so the XLA program is
+        the default; opt in with NTEDIT_TPU_PALLAS=1."""
         if not self.use_device:
             return None
-        if self.df.blocked and self.cfg.min_threshold <= 1:
-            # fused Pallas prep kernel (hash + probe coords + validity in
-            # one VMEM pass); the XLA path covers btllib-layout/CBF filters
+        import os
+
+        if (
+            os.environ.get("NTEDIT_TPU_PALLAS") == "1"
+            and self.df.blocked
+            and self.cfg.min_threshold <= 1
+        ):
             from ntedit_tpu.ops import flag_kernel
 
             return flag_kernel.flag_contig_gates_pallas(

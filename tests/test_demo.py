@@ -4,7 +4,6 @@ outputs byte-compared against committed goldens)."""
 
 import gzip
 import os
-import runpy
 import subprocess
 import sys
 

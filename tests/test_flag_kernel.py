@@ -40,3 +40,29 @@ def test_pallas_gates_snv_and_short():
     got = flag_kernel.flag_contig_gates_pallas(truth, df, snv=True, chunk=2048)
     assert (ref == got).all()
     assert len(flag_kernel.flag_contig_gates_pallas(truth[:10], df)) == 0
+
+
+def test_iter_gate_chunks_equals_one_shot():
+    """Streamed per-chunk gates (the pipelined feed) == the one-shot gate
+    pass, including tail-chunk padding and frontier accounting."""
+    import numpy as np
+
+    from ntedit_tpu.core import bloom
+    from ntedit_tpu.engine import flag
+    from ntedit_tpu.utils import simulate
+
+    truth = simulate.random_genome(20000, seed=40)
+    draft, _ = simulate.inject_errors(truth, sub_rate=3e-3, seed=41)
+    bf = bloom.BlockedKmerBloomFilter.zeros(1 << 15, 3, 25)
+    bf.insert_seq(truth)
+    df = bloom.DeviceFilter.from_host(bf)
+    want = flag.flag_contig_gates(draft, df, chunk=4096)
+    got = []
+    last_frontier = 0
+    for frontier, g in flag.iter_gate_chunks(draft, df, chunk=4096):
+        assert frontier > last_frontier
+        assert ((g >= last_frontier) & (g < frontier)).all()
+        last_frontier = frontier
+        got.append(g)
+    np.testing.assert_array_equal(np.concatenate(got), want)
+    assert last_frontier == len(draft) - 24
