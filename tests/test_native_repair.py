@@ -417,3 +417,14 @@ def test_snv_fast_path_ineligible_falls_back():
         cfg = EngineConfig(k=25, hash_num=3, snv=True, **kw)
         slow = Oracle(bf, None, cfg).polish_contig("ctg", bytes(truth))
         assert fast.edited == slow.edited and fast.subs == slow.subs
+
+
+def test_ratio_thresholds_match_oracle():
+    """-X/-Y ratio thresholds (use_ratio path, incl. the deletion formula
+    asymmetry (1 + k/j)*Y, ntedit.cpp:1531-1535) through the native
+    engine."""
+    wl = simulate.make_workload(length=10000, k=25, seed=800)
+    assert_equivalent(wl.draft, wl.bf, use_ratio=True,
+                      missing_ratio=0.5, edit_ratio=0.5)
+    assert_equivalent(wl.draft, wl.bf, use_ratio=True,
+                      missing_ratio=0.3, edit_ratio=0.7, mode=1)
