@@ -91,7 +91,47 @@ def residual_census(edited: bytes, truth: bytes, window: int = 30,
     return sites
 
 
+def wait_device(max_wait: float = 480.0, probe_timeout: float = 45.0) -> bool:
+    """The tunneled device wedges intermittently (PERF.md): even trivial
+    transfers hang for minutes, then recover.  Probe with a tiny op in a
+    daemon thread and retry until it responds, so a transient wedge delays
+    the bench instead of sinking it."""
+    import threading
+
+    deadline = time.time() + max_wait
+    attempt = 0
+    while True:
+        attempt += 1
+        ok = threading.Event()
+
+        def probe():
+            try:
+                import jax
+
+                x = jax.device_put(np.arange(8))
+                float(x.sum())
+                ok.set()
+            except Exception:
+                pass
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(probe_timeout)
+        if ok.is_set():
+            if attempt > 1:
+                log(f"# device responsive after {attempt} probes")
+            return True
+        if time.time() > deadline:
+            log("# WARNING: device unresponsive after "
+                f"{max_wait:.0f}s of probing; proceeding anyway")
+            return False
+        log(f"# device probe {attempt} timed out; retrying "
+            f"(tunnel wedge — see PERF.md)")
+        time.sleep(20)
+
+
 def main():
+    wait_device()
     from ntedit_tpu.core import bloom
     from ntedit_tpu.engine import native_repair, wavefront
     from ntedit_tpu.engine.config import EngineConfig
@@ -143,7 +183,11 @@ def main():
         f"threaded repair {stage_repair*1e3:.0f}ms; pipelined total "
         f"{dt*1e3:.0f}ms ({bases_per_sec:,.0f} bp/s)")
 
-    # --- engine identity at full scale: native == wavefront ---
+    # --- engine identity at full scale: native == wavefront; plus the
+    # sequential spec oracle directly on a 1 Mbp slice (the full-contig
+    # oracle run takes ~21 s and is covered transitively: wavefront ==
+    # oracle is property-tested, and a full-scale run verified identical
+    # once — see PERF.md) ---
     t4 = time.time()
     res_wf = wavefront.polish_contig_wavefront(
         pol.oracle, "ecoli_sim", bytes(draft), hint
@@ -151,6 +195,16 @@ def main():
     identical = (res.edited == res_wf.edited and res.subs == res_wf.subs)
     log(f"# identity: native == wavefront: {identical} "
         f"(wavefront {time.time()-t4:.2f}s, edits={len(res.subs)})")
+    sl0 = 1_000_000
+    hint0 = hint[hint < sl0 - K]
+    res_sl = native_repair.polish_contig_native(
+        pol.oracle.bloom, None, cfg, "s", draft[:sl0], gate_hint=hint0)
+    res_or = pol.oracle.polish_contig("s", bytes(draft[:sl0]), gate_hint=hint0)
+    identical_oracle = (
+        res_sl.edited == res_or.edited and res_sl.subs == res_or.subs
+    )
+    log(f"# identity: native == sequential oracle (1 Mbp direct): "
+        f"{identical_oracle}")
 
     # --- residual-error census: why edited != truth ---
     correct = res.edited == truth.tobytes()
@@ -331,6 +385,7 @@ def main():
         "unit": "bases/s",
         "vs_baseline": round(bases_per_sec / baseline, 3),
         "identical_to_wavefront": bool(identical),
+        "identical_to_oracle": bool(identical_oracle),
         "three_way_identical": three_way,
         "gate_ms": round(stage_gate * 1e3, 1),
         "repair_ms": round(stage_repair * 1e3, 1),
