@@ -256,3 +256,32 @@ def test_verbose_trial_trace(capsys):
     assert "\t\tsub: " in out and " check_present: " in out
     # the accepted substitution's support appears on its trace line
     assert f"check_present: {res.subs[0].num_support}" in out
+
+
+def test_vcf_multiallelic_1_2_genotype():
+    """Two qualifying alternate bases at one SNV site emit a 1/2 record
+    with ALT=b1,b2 and AD=s1,s2 (ntedit.cpp:1054-1162 heuristics)."""
+    truth = simulate.random_genome(1600, seed=170)
+    p = 800
+    bases = [b for b in b"ACGT" if b != truth[p]]
+    va = truth.copy(); va[p] = bases[0]
+    vb = truth.copy(); vb[p] = bases[1]
+    bf = bloom.KmerBloomFilter.zeros(1 << 15, 3, 25)
+    # both variant alleles in the filter; the draft allele is NOT
+    for v in (va, vb):
+        bf.insert_seq(v)
+    bf.insert_seq(truth[: p - 30])
+    bf.insert_seq(truth[p + 30 :])
+    cfg = EngineConfig(k=25, hash_num=3, snv=True)
+    res = Oracle(bf, None, cfg).polish_contig("ctg", bytes(truth))
+    d, r, v = io.StringIO(), io.StringIO(), io.StringIO()
+    writers.write_contig(res, d, r, v, snv=True)
+    rows = [l.split("\t") for l in v.getvalue().splitlines() if l and not l.startswith("#")]
+    multi = [row for row in rows if "," in row[4]]
+    assert multi, f"expected a multi-allelic record, got {rows}"
+    row = multi[0]
+    assert row[9] == "1/2"
+    alt1, alt2 = row[4].split(",")
+    assert {alt1, alt2} == {chr(bases[0]), chr(bases[1])}
+    ad = row[7].split(";")[0]
+    assert ad.startswith("AD=") and "," in ad
