@@ -428,3 +428,27 @@ def test_ratio_thresholds_match_oracle():
                       missing_ratio=0.5, edit_ratio=0.5)
     assert_equivalent(wl.draft, wl.bf, use_ratio=True,
                       missing_ratio=0.3, edit_ratio=0.7, mode=1)
+
+
+@pytest.mark.parametrize("k", [15, 32, 52])
+def test_nondefault_k_values(k):
+    """k is read from the filter header and can be any value (the
+    reference recommends k52/k55 for human SNV calling, README.md:273);
+    the hash algebra, trial tables, and native engine are k-parametric."""
+    truth = simulate.random_genome(9000, seed=900 + k)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=3e-3, ins_rate=8e-4, del_rate=8e-4, seed=901 + k
+    )
+    bf = simulate.truth_bf(truth, k)
+    assert_equivalent(draft, bf)
+
+
+def test_nondefault_k_snv():
+    k = 52
+    truth = simulate.random_genome(6000, seed=910)
+    p = 3000
+    variant = truth.copy()
+    variant[p] = ord("A") if truth[p] != ord("A") else ord("C")
+    bf = simulate.truth_bf(truth, k)
+    bf.insert_seq(variant)
+    assert_equivalent(truth, bf, snv=True)

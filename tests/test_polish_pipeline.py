@@ -169,3 +169,25 @@ def test_polish_stream_overlapped_matches_serial():
     assert [r.header for r in streamed] == [r.header for r in serial]
     assert [r.edited for r in streamed] == [r.edited for r in serial]
     assert [r.subs for r in streamed] == [r.subs for r in serial]
+
+
+def test_device_pipeline_k52():
+    """Full Polisher pipeline at the human-SNV-recommended k (52): device
+    hash/probe programs are k-parametric (u32-pair srol algebra)."""
+    from ntedit_tpu.core import bloom as _bloom
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.oracle import Oracle
+    from ntedit_tpu.engine.polish import Polisher
+    from ntedit_tpu.utils import simulate
+
+    k = 52
+    truth = simulate.random_genome(15000, seed=920)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=2e-3, ins_rate=5e-4, del_rate=5e-4, seed=921
+    )
+    bf = _bloom.KmerBloomFilter.zeros(1 << 17, 3, k)
+    bf.insert_seq(truth)
+    cfg = EngineConfig(k=k, hash_num=3)
+    fast = Polisher(bf, cfg=cfg, chunk=8192).polish_contig("c", draft)
+    slow = Oracle(bf, None, cfg).polish_contig("c", bytes(draft))
+    assert fast.edited == slow.edited and fast.subs == slow.subs
