@@ -91,7 +91,7 @@ def residual_census(edited: bytes, truth: bytes, window: int = 30,
     return sites
 
 
-def wait_device(max_wait: float = 480.0, probe_timeout: float = 45.0) -> bool:
+def wait_device(max_wait: float = 600.0, probe_timeout: float = 45.0) -> bool:
     """The tunneled device wedges intermittently (PERF.md): even trivial
     transfers hang for minutes, then recover.  Probe with a tiny op in a
     daemon thread and retry until it responds, so a transient wedge delays
@@ -302,85 +302,24 @@ def main():
 
     # --- human-chromosome-scale throughput (50 Mbp): amortizes the
     # tunnel's fixed per-run sync cost (~100 ms regardless of size; see
-    # PERF.md) — the scale regime the >10x target is about.  The C++
-    # baseline runs on the SAME 50 Mbp workload (its 128 MiB filter
-    # misses cache exactly like ours), timed live ---
+    # PERF.md) — the scale regime the >10x target is about.  Runs in a
+    # SUBPROCESS with a hard timeout so a tunnel wedge mid-section delays
+    # only this metric, never the headline line ---
     baseline = baseline_live or measured_cpp_baseline() or BASELINE_BASES_PER_SEC
     scale_vs = None
     try:
-        from ntedit_tpu.core import bfbuild
-
-        SCALE = 50_000_000
-        t7 = time.time()
-        truth50 = simulate.random_genome(SCALE, seed=52)
-        draft50, _ = simulate.inject_errors(
-            truth50, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=53
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-only"],
+            capture_output=True, text=True, timeout=300,
         )
-        # blocked-filter bit indices are int32 on device: cap at 2^30 bits
-        # (128 MiB, FPR ~0.004 at 50 M k-mers — fine for a throughput bench)
-        nbits50 = min(bloom.pow2_size_bytes(SCALE, 3, 0.001) * 8, 1 << 30)
-        builder = bfbuild.DeviceFilterBuilder(K, 3, nbits50, 1 << 10)
-        B = bfbuild._DEV_BATCH
-        for s in range(0, SCALE, B):
-            builder.insert_batch(truth50[s : min(SCALE, s + B + K - 1)], 1)
-        bf50 = builder.finish()
-        pol50 = Polisher(bf50, None, cfg)
-        log(f"# scale setup {time.time()-t7:.1f}s: 50 Mbp draft, "
-            f"BF {nbits50>>23} MiB (device-built)")
-        r50 = pol50.polish_contig("chr", draft50)  # warm
-        t50 = []
-        for _ in range(3):
-            t8 = time.time()
-            r50 = pol50.polish_contig("chr", draft50)
-            t50.append(time.time() - t8)
-        dt50 = sorted(t50)[1]
-        baseline50 = None
-        if os.path.exists(binary):
-            try:
-                import jax.numpy as jnp
-
-                from ntedit_tpu.parallel import mesh as pmesh
-
-                import jax
-
-                acc = None
-                or_ = jax.jit(jnp.bitwise_or)
-                for s in range(0, SCALE, B):
-                    row = np.zeros(B + K - 1, dtype=np.uint8)
-                    chunk50 = truth50[s : min(SCALE, s + B + K - 1)]
-                    row[: len(chunk50)] = chunk50
-                    w = pmesh.build_bf_words(jnp.asarray(row[None]), K, 3, nbits50)
-                    acc = w if acc is None else or_(acc, w)
-                pbf50 = bloom.KmerBloomFilter(
-                    np.asarray(acc).view(np.uint8).copy(), 3, K
-                )
-                with tempfile.TemporaryDirectory() as td:
-                    fa = os.path.join(td, "d50.fa")
-                    with open(fa, "w") as f:
-                        f.write(">c\n" + draft50.tobytes().decode() + "\n")
-                    bfp = os.path.join(td, "t50.bf")
-                    pbf50.save(bfp)
-                    out50 = subprocess.check_output([binary, fa, bfp]).decode()
-                stats50 = json.loads(out50)
-                baseline50 = float(stats50["bases_per_sec"])
-                log(f"# 50 Mbp C++ baseline (live): {baseline50:,.0f} bp/s "
-                    f"({stats50['seconds']}s)")
-            except Exception as exc:
-                log(f"# 50 Mbp baseline measurement skipped: {exc}")
-        baseline50 = (
-            baseline50
-            or measured_cpp_baseline("bases_per_sec_50mbp")
-            or baseline
-        )
-        scale_vs = round(SCALE / dt50 / baseline50, 2)
-        log(json.dumps({
-            "metric": "bases_polished_per_sec_chip_50mbp_k25",
-            "value": round(SCALE / dt50, 1), "unit": "bases/s",
-            "vs_baseline": scale_vs, "edits": len(r50.subs),
-            "wall_ms": round(dt50 * 1e3, 1),
-        }))
+        for ln in child.stderr.splitlines():
+            if "WARNING" not in ln:
+                log(ln)
+        rec = json.loads(child.stdout.strip().splitlines()[-1])
+        scale_vs = rec["vs_baseline"]
+        log(json.dumps(rec))
     except Exception as exc:
-        log(f"# 50 Mbp scale bench skipped: {exc}")
+        log(f"# 50 Mbp scale bench skipped/timed out: {type(exc).__name__}")
 
     print(json.dumps({
         "metric": "bases_polished_per_sec_chip_ecoli_k25",
@@ -396,5 +335,93 @@ def main():
     }))
 
 
+def scale_main():
+    """--scale-only: the 50 Mbp scale section, isolated in its own
+    process.  The C++ baseline runs on the SAME 50 Mbp workload (its
+    128 MiB filter misses cache exactly like ours), timed live.  Prints
+    one JSON line on stdout; progress on stderr."""
+    from ntedit_tpu.core import bfbuild, bloom
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+    from ntedit_tpu.utils import simulate
+
+    wait_device()
+    SCALE = 50_000_000
+    t7 = time.time()
+    truth50 = simulate.random_genome(SCALE, seed=52)
+    draft50, _ = simulate.inject_errors(
+        truth50, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=53
+    )
+    # blocked-filter bit indices are int32 on device: cap at 2^30 bits
+    # (128 MiB, FPR ~0.004 at 50 M k-mers — fine for a throughput bench)
+    nbits50 = min(bloom.pow2_size_bytes(SCALE, 3, 0.001) * 8, 1 << 30)
+    builder = bfbuild.DeviceFilterBuilder(K, 3, nbits50, 1 << 10)
+    B = bfbuild._DEV_BATCH
+    for s in range(0, SCALE, B):
+        builder.insert_batch(truth50[s : min(SCALE, s + B + K - 1)], 1)
+    bf50 = builder.finish()
+    cfg = EngineConfig(k=K, hash_num=3)
+    pol50 = Polisher(bf50, None, cfg)
+    log(f"# scale setup {time.time()-t7:.1f}s: 50 Mbp draft, "
+        f"BF {nbits50>>23} MiB (device-built)")
+    r50 = pol50.polish_contig("chr", draft50)  # warm
+    t50 = []
+    for _ in range(3):
+        t8 = time.time()
+        r50 = pol50.polish_contig("chr", draft50)
+        t50.append(time.time() - t8)
+    dt50 = sorted(t50)[1]
+
+    baseline50 = None
+    binary = os.path.join(HERE, "native", "ntedit_baseline")
+    if os.path.exists(binary):
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from ntedit_tpu.parallel import mesh as pmesh
+
+            acc = None
+            or_ = jax.jit(jnp.bitwise_or)
+            for s in range(0, SCALE, B):
+                row = np.zeros(B + K - 1, dtype=np.uint8)
+                chunk50 = truth50[s : min(SCALE, s + B + K - 1)]
+                row[: len(chunk50)] = chunk50
+                w = pmesh.build_bf_words(jnp.asarray(row[None]), K, 3, nbits50)
+                acc = w if acc is None else or_(acc, w)
+            pbf50 = bloom.KmerBloomFilter(
+                np.asarray(acc).view(np.uint8).copy(), 3, K
+            )
+            with tempfile.TemporaryDirectory() as td:
+                fa = os.path.join(td, "d50.fa")
+                with open(fa, "w") as f:
+                    f.write(">c\n" + draft50.tobytes().decode() + "\n")
+                bfp = os.path.join(td, "t50.bf")
+                pbf50.save(bfp)
+                out50 = subprocess.check_output([binary, fa, bfp]).decode()
+            stats50 = json.loads(out50)
+            baseline50 = float(stats50["bases_per_sec"])
+            log(f"# 50 Mbp C++ baseline (live): {baseline50:,.0f} bp/s "
+                f"({stats50['seconds']}s)")
+        except Exception as exc:
+            log(f"# 50 Mbp baseline measurement skipped: {exc}")
+    baseline50 = (
+        baseline50
+        or measured_cpp_baseline("bases_per_sec_50mbp")
+        or measured_cpp_baseline()
+        or BASELINE_BASES_PER_SEC
+    )
+    print(json.dumps({
+        "metric": "bases_polished_per_sec_chip_50mbp_k25",
+        "value": round(SCALE / dt50, 1), "unit": "bases/s",
+        "vs_baseline": round(SCALE / dt50 / baseline50, 2),
+        "edits": len(r50.subs),
+        "wall_ms": round(dt50 * 1e3, 1),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale-only" in sys.argv:
+        scale_main()
+    else:
+        main()
