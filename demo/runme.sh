@@ -6,6 +6,7 @@
 set -euo pipefail
 HERE="$(cd "$(dirname "$0")" && pwd)"
 WORK="${1:-$(mktemp -d)}"
+export PYTHONPATH="$HERE/..:${PYTHONPATH:-}"
 cd "$WORK"
 
 python "$HERE/make_demo.py" .
