@@ -152,7 +152,8 @@ def main():
 
     cfg = EngineConfig(k=K, hash_num=3)
     pol = Polisher(bf, None, cfg)
-    log(f"# repair engine: {pol.engine}")
+    native_ok = native_repair.available()
+    log(f"# repair engine: {pol.engine} (native lib: {native_ok})")
 
     # warmup (compile) with the production chunk shape
     warm = pol.gate_positions(draft)
@@ -172,12 +173,14 @@ def main():
     t1 = time.time()
     hint = pol.gate_positions(draft)
     stage_gate = time.time() - t1
-    t1 = time.time()
-    _ = native_repair.polish_contig_segmented(
-        pol.oracle.bloom, None, cfg, "ecoli_sim", draft, hint,
-        threads=cfg.threads,
-    )
-    stage_repair = time.time() - t1
+    stage_repair = 0.0
+    if native_ok:
+        t1 = time.time()
+        _ = native_repair.polish_contig_segmented(
+            pol.oracle.bloom, None, cfg, "ecoli_sim", draft, hint,
+            threads=cfg.threads,
+        )
+        stage_repair = time.time() - t1
     log(f"# stages unoverlapped: gate pass {stage_gate*1e3:.0f}ms, "
         f"threaded repair {stage_repair*1e3:.0f}ms; pipelined total "
         f"{dt*1e3:.0f}ms ({bases_per_sec:,.0f} bp/s)")
@@ -196,14 +199,24 @@ def main():
         f"(wavefront {time.time()-t4:.2f}s, edits={len(res.subs)})")
     sl0 = 1_000_000
     hint0 = hint[hint < sl0 - K]
-    res_sl = native_repair.polish_contig_native(
-        pol.oracle.bloom, None, cfg, "s", draft[:sl0], gate_hint=hint0)
     res_or = pol.oracle.polish_contig("s", bytes(draft[:sl0]), gate_hint=hint0)
-    identical_oracle = (
-        res_sl.edited == res_or.edited and res_sl.subs == res_or.subs
-    )
-    log(f"# identity: native == sequential oracle (1 Mbp direct): "
-        f"{identical_oracle}")
+    if native_ok:
+        res_sl = native_repair.polish_contig_native(
+            pol.oracle.bloom, None, cfg, "s", draft[:sl0], gate_hint=hint0)
+        identical_oracle = (
+            res_sl is not None
+            and res_sl.edited == res_or.edited and res_sl.subs == res_or.subs
+        )
+        log(f"# identity: native == sequential oracle (1 Mbp direct): "
+            f"{identical_oracle}")
+    else:
+        res_wf0 = wavefront.polish_contig_wavefront(
+            pol.oracle, "s", bytes(draft[:sl0]), hint0)
+        identical_oracle = (
+            res_wf0.edited == res_or.edited and res_wf0.subs == res_or.subs
+        )
+        log(f"# identity: wavefront == sequential oracle (1 Mbp direct, "
+            f"no native lib): {identical_oracle}")
 
     # --- residual-error census: why edited != truth ---
     correct = res.edited == truth.tobytes()
@@ -250,18 +263,24 @@ def main():
         cfgp = EngineConfig(k=K, hash_num=3)
         polp = Polisher(pbf, None, cfgp, use_device=False)
         o = polp.oracle
-        rn = native_repair.polish_contig_native(o.bloom, None, cfgp, "c", draft)
+        rn = (
+            native_repair.polish_contig_native(o.bloom, None, cfgp, "c", draft)
+            if native_ok else None
+        )
         # host-derived exact gates feed the wavefront (same as the device
         # hint, computed against the plain filter)
         fh, rh = nh.all_window_hashes(draft, K)
         hs = nh.extend_hashes_vec(nh.canonical(fh, rh), K, 3)
         gates = np.nonzero(~pbf.contains_hashes(hs))[0]
         rw = wavefront.polish_contig_wavefront(o, "c", bytes(draft), gates)
-        three_way = (rn.edited == rw.edited == base_edited)
+        three_way = (
+            rn is not None and rn.edited == rw.edited == base_edited
+            if native_ok else rw.edited == base_edited
+        )
         log(f"# three-way identity (plain BF): baseline.cpp == native == "
             f"wavefront: {three_way} (baseline {base_stats['seconds']}s = "
             f"{baseline_live:,.0f} bp/s live)")
-        if not three_way:
+        if not three_way and rn is not None:
             log(f"#   native==wavefront: {rn.edited == rw.edited}; "
                 f"native==baseline: {rn.edited == base_edited}; "
                 f"lens {len(rn.edited)}/{len(rw.edited)}/{len(base_edited)}")

@@ -1090,9 +1090,9 @@ int64_t ntr_polish_contig(
   if (params->k <= 0 || params->k > 255) return -1;
   if (params->max_insertions < 0 || params->max_insertions > 5) return -1;
   if (params->max_deletions < 0 || params->max_deletions > 10) return -1;
-  if (bf->hash_num <= 0 && bf->kind != 1) return -1;
-  if (bfrep && bfrep->data && bfrep->hash_num <= 0 && bfrep->kind != 1)
-    return -1;
+  // blocked filters (kind 1) also loop hash_num probe bits per word
+  if (bf->hash_num <= 0) return -1;
+  if (bfrep && bfrep->data && bfrep->hash_num <= 0) return -1;
   eng::build_tables();
   nth::init_tables(params->k);
 

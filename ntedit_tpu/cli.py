@@ -172,17 +172,22 @@ def _run_engine(
         n_records = 0
         from ntedit_tpu.utils.profiling import trace
 
-        with trace():  # device trace when NTEDIT_TPU_TRACE is set
+        def contig_stream():
             for rec in fastx.read_fastx(draft_path):
-                if len(rec.seq) < cfg.min_contig_len:
-                    continue  # read but not polished/emitted (ntedit.cpp:2242)
-                if v:
+                # contigs shorter than -z are read but not polished/emitted
+                # (ntedit.cpp:2242) — polish() applies the same filter
+                if v and len(rec.seq) >= cfg.min_contig_len:
                     print(rec.header, flush=True)
-                res = pol.polish_contig(rec.header, rec.seq)
+                yield rec.header, rec.seq
+
+        with trace():  # device trace when NTEDIT_TPU_TRACE is set
+            # pol.polish overlaps contigs two-deep with -t > 1 and keeps
+            # input-order output (FIDELITY #6)
+            for res in pol.polish(contig_stream()):
                 writers.write_contig(
                     res, dfout, rfout, vfout, clinvar, snv=cfg.snv
                 )
-                total_bases += len(rec.seq)
+                total_bases += len(res.contig)
                 n_contigs += 1
                 n_records += len(res.subs)
     dt = max(time.time() - t0, 1e-9)

@@ -112,8 +112,8 @@ def _filter_desc(bf) -> Optional[tuple]:
 
     Returns (struct, backing array) or None for unknown layouts.  The
     backing array is a view of the live filter when it is already
-    contiguous (the normal case; asserted below) — callers must keep it
-    referenced across the native call."""
+    contiguous (the normal case), else a contiguous snapshot — callers
+    must keep it referenced across the native call."""
     if bf is None:
         return None
     host = getattr(bf, "bf", bf)  # unwrap BFLike
@@ -128,7 +128,11 @@ def _filter_desc(bf) -> Optional[tuple]:
         kind = 0
     else:
         return None
-    assert arr.flags["C_CONTIGUOUS"], "host filter arrays are contiguous"
+    if not arr.flags["C_CONTIGUOUS"]:
+        # non-contiguous views would hand the engine a wrong layout; the
+        # copy is a descriptor-time SNAPSHOT of the filter, which is fine
+        # (filters are read-only during repair)
+        arr = np.ascontiguousarray(arr)
     return _NtrFilter(
         kind=kind, hash_num=host.hash_num,
         data=arr.ctypes.data_as(ctypes.c_void_p).value,
@@ -298,18 +302,6 @@ def _gap_margin(cfg) -> tuple:
     gap = 4 * cfg.k + cfg.insertion_cap + cfg.max_deletions + 32
     margin = gap - 2 * cfg.k - cfg.max_deletions - 2
     return gap, margin
-
-
-def _segment_bounds(gates: np.ndarray, L: int, cfg) -> tuple:
-    """Partition gate heads into independent segments (see _gap_margin).
-    Returns (starts, ends, lo, hi, margin) index/coordinate arrays."""
-    gap, margin = _gap_margin(cfg)
-    splits = np.nonzero(np.diff(gates) > gap)[0] + 1
-    starts = np.concatenate([[0], splits])
-    ends = np.concatenate([splits, [len(gates)]])
-    lo = gates[starts]
-    hi = np.minimum(L, gates[ends - 1] + gap)
-    return starts, ends, lo, hi, margin
 
 
 def _bucket_bounds(gates: np.ndarray, L: int, cfg, n_buckets: int) -> tuple:
@@ -489,6 +481,7 @@ def polish_contig_pipelined(
     seq: bytes | np.ndarray,
     gate_chunks,
     threads: int = 4,
+    collect_gates: Optional[list] = None,
 ) -> Optional[ContigResult]:
     """Segmented repair overlapped with the streaming dense pass.
 
@@ -497,7 +490,11 @@ def polish_contig_pipelined(
     quiet gap is confirmed are submitted to the repair pool immediately,
     so the host repairs chunk i while the device still computes chunk
     i+1's gates.  Output is identical to the sequential scan (same
-    segment/overflow machinery as polish_contig_segmented)."""
+    segment/overflow machinery as polish_contig_segmented).
+
+    ``collect_gates``: optional list the consumed gate arrays are appended
+    to, so a caller can reuse the dense pass as a hint if this engine
+    returns None after the stream was (partially) drained."""
     lib = get_lib()
     if lib is None or cfg.snv:
         return None
@@ -542,6 +539,8 @@ def polish_contig_pipelined(
 
         for frontier, g in gate_chunks:
             chunks.append(np.asarray(g, dtype=np.int64))
+            if collect_gates is not None:
+                collect_gates.append(chunks[-1])
             gbuf = np.concatenate([gbuf, chunks[-1]])
             if not len(gbuf):
                 continue

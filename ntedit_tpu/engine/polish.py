@@ -65,6 +65,12 @@ class Polisher:
             engine = "pipelined" if native_repair.available() else "wavefront"
         self.engine = engine if use_device else "sequential"
         self.df = bloom.DeviceFilter.from_host(host_bloom) if use_device else None
+        # the wavefront/sequential fallbacks mutate the shared Oracle;
+        # the overlapped polish() stream runs polish_contig concurrently,
+        # so those paths serialize on this lock
+        import threading
+
+        self._oracle_lock = threading.Lock()
 
     def _snv_fast_eligible(self) -> bool:
         """The SNV candidate hint is exact only when the alternate
@@ -115,11 +121,13 @@ class Polisher:
             return self.oracle.polish_contig(
                 header, bytes(seq), gate_hint=self.gate_positions(seq)
             )
+        hint = None
         if self.engine == "pipelined" and not self.cfg.snv:
             # production path: streaming dense pass overlapped with the
             # threaded segment repair (no upfront full gate pass)
             from ntedit_tpu.engine import native_repair
 
+            streamed = []
             res = native_repair.polish_contig_pipelined(
                 self.oracle.bloom, self.oracle.bloomrep, self.cfg,
                 header, seq,
@@ -128,9 +136,14 @@ class Polisher:
                     min_threshold=self.cfg.min_threshold, chunk=self.chunk,
                 ),
                 threads=self.cfg.threads,
+                collect_gates=streamed,
             )
             if res is not None:
                 return res
+            if streamed:
+                # the dense pass already ran to completion; reuse it as the
+                # hint instead of paying a second device scan
+                hint = np.concatenate(streamed)
         if (
             self.engine in ("native", "pipelined")
             and self.cfg.snv
@@ -155,7 +168,8 @@ class Polisher:
                 )
             if res is not None:
                 return res
-        hint = self.gate_positions(seq)
+        if hint is None:
+            hint = self.gate_positions(seq)
         if self.engine in ("native", "pipelined"):
             from ntedit_tpu.engine import native_repair
 
@@ -183,12 +197,14 @@ class Polisher:
             else:
                 hint_wf = hint
             try:
-                return wavefront.polish_contig_wavefront(
-                    self.oracle, header, bytes(seq), hint_wf
-                )
+                with self._oracle_lock:
+                    return wavefront.polish_contig_wavefront(
+                        self.oracle, header, bytes(seq), hint_wf
+                    )
             except wavefront.WavefrontBailout:
                 pass  # rare scan-order-dependent case: sequential engine
-        return self.oracle.polish_contig(header, bytes(seq), gate_hint=hint)
+        with self._oracle_lock:
+            return self.oracle.polish_contig(header, bytes(seq), gate_hint=hint)
 
     def polish(
         self, contigs: Iterable[Tuple[str, np.ndarray]]

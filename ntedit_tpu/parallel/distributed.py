@@ -47,16 +47,24 @@ def initialize(
 
     On TPU pods the arguments auto-detect from the environment; on CPU/GPU
     clusters pass them explicitly.  No-op when already initialized or when
-    running single-process with no coordinator configured."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    running single-process with no coordinator configured.
+
+    Must be the first JAX call in the process: anything that initializes
+    the XLA backend first (even jax.process_count()) makes the
+    multi-controller join impossible, so this function inspects only its
+    arguments before handing off to jax.distributed."""
     if coordinator_address is None and num_processes in (None, 1):
         return  # single-process run: nothing to join
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as exc:
+        if "already" in str(exc).lower():
+            return  # idempotent re-entry
+        raise
 
 
 def process_slice(n_items: int) -> slice:
