@@ -285,3 +285,32 @@ def test_vcf_multiallelic_1_2_genotype():
     assert {alt1, alt2} == {chr(bases[0]), chr(bases[1])}
     ad = row[7].split(";")[0]
     assert ad.startswith("AD=") and "," in ad
+
+
+def test_vcf_ref_supported_0_1_genotype_exact():
+    """SNV no-edit record where the draft allele outsupports the variant:
+    GT must be exactly 0/1 (ref-supported heterozygous heuristic,
+    ntedit.cpp:1070-1153) with the variant as ALT."""
+    truth = simulate.random_genome(1500, seed=180)
+    p = 700
+    variant = truth.copy()
+    alt = ord("A") if truth[p] != ord("A") else ord("C")
+    variant[p] = alt
+    bf = simulate.truth_bf(truth, 25)
+    # insert the variant k-mers TWICE-sparse? presence BF: once is enough;
+    # the draft baseline (check_there) counts the truth allele's support
+    bf.insert_seq(variant)
+    cfg = EngineConfig(k=25, hash_num=3, snv=True)
+    res = Oracle(bf, None, cfg).polish_contig("ctg", bytes(truth))
+    d, r, v = io.StringIO(), io.StringIO(), io.StringIO()
+    writers.write_contig(res, d, r, v, snv=True)
+    rows = [l.split("\t") for l in v.getvalue().splitlines()
+            if l and not l.startswith("#")]
+    row = next((x for x in rows if int(x[1]) == p + 1), None)
+    assert row is not None, rows[:4]
+    # both alleles carry equal support here: REF is the draft base, ALT
+    # the variant, and the ref-supported heuristic emits exactly 0/1
+    assert row[3] == chr(truth[p])
+    assert row[4] == chr(alt)
+    assert row[9] == "0/1"
+    assert row[7].startswith("AD=")
