@@ -166,6 +166,38 @@ def window_hashes(seq, k: int):
     return fh, rh
 
 
+def code_seeds(codes):
+    """2-bit base codes [..] (0=A 1=C 2=G 3=T) -> (forward seeds, complement
+    seeds) as u64 pairs.  The packed dense pass uploads codes, not ASCII
+    (4x less host->device traffic — the tunnel transfer, not the VPU math,
+    bounds the dense pass); non-ACGT draft bytes never reach this path
+    (engine.flag encodes them as exceptions and patches their windows
+    host-side per isAcceptedBase semantics — see flag._exception_hints)."""
+    c = jnp.asarray(codes, jnp.int32)
+    fs = _sel4(c, [
+        (0, ref.SEED_A), (1, ref.SEED_C), (2, ref.SEED_G), (3, ref.SEED_T),
+    ])
+    cs = _sel4(c, [
+        (0, ref.SEED_T), (1, ref.SEED_G), (2, ref.SEED_C), (3, ref.SEED_A),
+    ])
+    return fs, cs
+
+
+def window_hashes_codes(codes, k: int):
+    """window_hashes over 2-bit base codes [L] instead of ASCII bytes.
+    Bit-identical to window_hashes on the decoded ACGT string."""
+    L = codes.shape[0]
+    n = L - k + 1
+    fseed, cseed = code_seeds(codes)
+    t = jnp.arange(L, dtype=jnp.int32)
+    fterms = u64.srol_var(fseed, (-t) % SROL_PERIOD)
+    rterms = u64.srol_var(cseed, t % SROL_PERIOD)
+    h = jnp.arange(n, dtype=jnp.int32)
+    fh = u64.srol_var(_window_xor(fterms, k, n), (h + k - 1) % SROL_PERIOD)
+    rh = u64.srol_var(_window_xor(rterms, k, n), (-h) % SROL_PERIOD)
+    return fh, rh
+
+
 def rotated_seed_tables(k: int):
     """Host-precomputed [k, 256] tables for direct window hashing:
 

@@ -47,6 +47,13 @@ for _c in ACCEPTED:
 
 DEFAULT_CHUNK = 1 << 19
 
+# 2-bit base codes for the packed upload path: ACGT/acgt -> 0..3,
+# everything else (IUPAC, N, junk) -> 255 = "exception", handled host-side
+_CODE_TAB = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _CODE_TAB[_c] = _i
+    _CODE_TAB[_c + 32] = _i
+
 
 def _accepted(seq):
     """isAcceptedBase (ntedit.cpp:493-499) as arithmetic — a [256]-table
@@ -119,6 +126,172 @@ def flag_chunk_packed(seq, df: bloom.DeviceFilter, k: int, snv: bool,
     return (b << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
 
 
+# ---------------------------------------------------------------------------
+# Packed-code dense pass (the production driver)
+#
+# The tunneled device's host->device bandwidth (~35 MB/s) bounds the dense
+# pass end-to-end: uploading a 50 Mbp draft as ASCII costs ~1.4 s against
+# ~0.45 s of device compute.  The drivers below upload 2-bit base codes
+# packed 16/uint32 (4x less traffic, one transfer per contig) and hash from
+# codes on device (nthash.window_hashes_codes).  Non-ACGT draft bytes
+# (IUPAC, N, junk) can't be coded in 2 bits; they are encoded as 'A',
+# located host-side, and patched per the spec's isAcceptedBase semantics
+# (_exception_hints): windows touching an accepted-IUPAC byte are
+# force-added to the hint — the repair engine re-evaluates the gate at
+# every hinted head with exact host hashes (native/repair.cpp:1044), so
+# that superset only costs probes — while windows touching an UNaccepted
+# byte are removed (the spec scan skips them; hinting them would make
+# fast-forwarding engines repair where the sequential scan cannot).
+# ---------------------------------------------------------------------------
+
+def _halo_words(k: int) -> int:
+    return (k - 2) // 16 + 1
+
+
+def _encode_packed(seq: np.ndarray, n: int, k: int, chunk: int):
+    """ASCII draft [L] -> (packed uint32 words, exception positions).
+
+    The packed array covers every chunk slice [w0, w0 + chunk/16 + halo):
+    codes are padded to (last_start + chunk)/16 + halo words."""
+    codes = _CODE_TAB[np.asarray(seq, dtype=np.uint8)]
+    exc = np.flatnonzero(codes == 255).astype(np.int64)
+    if exc.size:
+        codes[exc] = 0
+    last_start = ((n - 1) // chunk) * chunk
+    need = last_start + chunk + 16 * _halo_words(k)
+    if len(codes) < need:
+        codes = np.concatenate([codes, np.zeros(need - len(codes), np.uint8)])
+    else:
+        codes = codes[:need]
+    packed8 = (
+        codes[0::4]
+        | (codes[1::4] << 2)
+        | (codes[2::4] << 4)
+        | (codes[3::4] << 6)
+    )
+    return np.ascontiguousarray(packed8).view("<u4"), exc
+
+
+def _exception_heads(exc: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Sorted head positions whose window [h, h+k) touches an exception."""
+    if not exc.size:
+        return np.zeros(0, dtype=np.int64)
+    # interval union via prefix sum: [max(0, e-k+1), e+1) per exception
+    delta = np.zeros(n + 1, dtype=np.int32)
+    lo = np.maximum(exc - (k - 1), 0)
+    hi = np.minimum(exc + 1, n)
+    keep = lo < hi
+    np.add.at(delta, lo[keep], 1)
+    np.add.at(delta, hi[keep], -1)
+    return np.flatnonzero(np.cumsum(delta[:-1]) > 0).astype(np.int64)
+
+
+def _merge_heads(gates: np.ndarray, extra: np.ndarray) -> np.ndarray:
+    if not extra.size:
+        return gates
+    return np.union1d(gates, extra)
+
+
+def _exception_hints(seq: np.ndarray, exc: np.ndarray, n: int, k: int):
+    """Split exception (non-ACGT) draft positions into the two hint sets
+    matching the spec's isAcceptedBase semantics (oracle.py:391-409;
+    /root/reference/ntedit.cpp:493-499):
+
+    * ``iupac_heads`` — windows touching an accepted-IUPAC byte (R/Y/...)
+      but NO unaccepted byte.  The spec scan hashes these with the IUPAC
+      seed; the device hashed them with the 'A' substitute, so the
+      computed gate is unreliable — force-hint them and let the engine
+      re-evaluate each with exact host hashes (superset-safe).
+    * ``bad_heads`` — windows touching an unaccepted byte (N, junk).  The
+      spec scan NEVER gates these (it skips to the next fully-accepted
+      k-mer), and hinting them would make hint-fast-forwarding engines
+      land and repair where the sequential scan cannot — they must be
+      REMOVED from the device gates (the 'A' substitution makes the
+      device probe spuriously gate there).
+    """
+    if not exc.size:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    acc = ACCEPTED_TAB[np.asarray(seq, np.uint8)[exc]] == 1
+    bad_heads = _exception_heads(exc[~acc], n, k)
+    iupac_heads = _exception_heads(exc[acc], n, k)
+    if bad_heads.size and iupac_heads.size:
+        iupac_heads = np.setdiff1d(iupac_heads, bad_heads, assume_unique=True)
+    return iupac_heads, bad_heads
+
+
+def _apply_exceptions(gates: np.ndarray, iupac_heads: np.ndarray,
+                      bad_heads: np.ndarray) -> np.ndarray:
+    if bad_heads.size:
+        gates = np.setdiff1d(gates, bad_heads, assume_unique=True)
+    return _merge_heads(gates, iupac_heads)
+
+
+@partial(jax.jit, static_argnames=("k", "snv", "min_threshold", "chunk"))
+def _gate_words_from_codes(packed, start_word, df: bloom.DeviceFilter, k: int,
+                           snv: bool, min_threshold: int, chunk: int):
+    """Gate bitmap (packed uint32) for heads [start, start + chunk) of the
+    coded contig.  Same gate semantics as flag_chunk, minus window validity
+    (handled host-side via the exception hint union)."""
+    nw = chunk // 16 + _halo_words(k)
+    words = jax.lax.dynamic_slice(packed, (start_word,), (nw,))
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :]
+    codes = ((words[:, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+    seqc = codes.reshape(-1)[: chunk + k - 1]
+    fh, rh = nt.window_hashes_codes(seqc, k)
+    can = nt.canonical(fh, rh)
+    hashes = [can] if df.blocked else nt.extend(can, k, df.hash_num)
+    if df.counting:
+        count = df.count(hashes)
+        present = count > 0
+    else:
+        present = df.contains(hashes)
+        count = None
+    gate = jnp.full(chunk, snv) | ~present
+    if df.counting and min_threshold > 1:
+        gate = gate | (count < np.uint8(min_threshold))
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    b = gate.reshape(-1, 32).astype(jnp.uint32)
+    return (b << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _snv_cand_words_from_codes(packed, start_word, df: bloom.DeviceFilter,
+                               k: int, chunk: int):
+    """SNV candidate bitmap from coded bases (see snv_candidates_chunk for
+    the algorithm; alternates here are always 'the 3 other bases' — coded
+    positions are real ACGT, exception windows are re-added host-side)."""
+    from ntedit_tpu.core import nthash_ref as _ref
+    from ntedit_tpu.utils import u64
+
+    nw = chunk // 16 + _halo_words(k)
+    words = jax.lax.dynamic_slice(packed, (start_word,), (nw,))
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :]
+    codes = ((words[:, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+    seqc = codes.reshape(-1)[: chunk + k - 1]
+    fh, rh = nt.window_hashes_codes(seqc, k)
+    tail = seqc[k - 1 : k - 1 + chunk]
+    fseed, cseed = nt.code_seeds(tail)
+    csd = u64.srol_const(cseed, k - 1)
+    fh_x = u64.xor(fh, fseed)
+    rh_x = u64.xor(rh, csd)
+    cand = jnp.zeros(chunk, dtype=bool)
+    for ci, b in enumerate(b"ACGT"):
+        sb = int(_ref.SEED_TAB[b])
+        csb = int(_ref.srol_vec(
+            np.asarray([_ref.SEED_TAB[b & nt.CP_OFF]]),
+            np.asarray([(k - 1) % nt.SROL_PERIOD]))[0])
+        fhb = (fh_x[0] ^ np.uint32(sb >> 32), fh_x[1] ^ np.uint32(sb & 0xFFFFFFFF))
+        rhb = (rh_x[0] ^ np.uint32(csb >> 32), rh_x[1] ^ np.uint32(csb & 0xFFFFFFFF))
+        can = nt.canonical(fhb, rhb)
+        hashes = [can] if df.blocked else nt.extend(can, k, df.hash_num)
+        present = df.contains(hashes)
+        cand = cand | ((tail != np.uint8(ci)) & present)
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    bts = cand.reshape(-1, 32).astype(jnp.uint32)
+    return (bts << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
+
+
 def packed_to_positions(words: np.ndarray, n: int) -> np.ndarray:
     """Little-endian packed gate words -> sorted gate head positions < n.
     Gates are sparse (~0.1-3% of heads): touch only the nonzero words."""
@@ -142,28 +315,27 @@ def flag_contig_gates(
 ) -> np.ndarray:
     """Gate head positions for one contig.
 
-    Fixed-shape chunk program, so any contig length reuses ONE compiled
-    executable (a tile-count-specialized program would recompile per
-    contig length — minutes per shape on a tunneled backend).  All chunk
-    dispatches are issued asynchronously (JAX queues them; uploads are
-    1-D contiguous, the fast transfer path), concatenated on device, and
-    read back once."""
+    Fixed-shape chunk program over ONE up-front packed-code upload (see
+    the packed-code section above): any contig length reuses a single
+    compiled executable (a tile-count-specialized program would recompile
+    per contig length — minutes per shape on a tunneled backend).  All
+    chunk dispatches are issued asynchronously, concatenated on device,
+    and read back once."""
     k = df.k
     L = len(seq)
     n = L - k + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
-    pad_total = (-n) % chunk
-    padded = np.concatenate(
-        [np.asarray(seq, dtype=np.uint8), np.zeros(pad_total + k - 1, np.uint8)]
-    )
+    packed_np, exc = _encode_packed(seq, n, k, chunk)
+    packed = jnp.asarray(packed_np)
     outs = []
     for start in range(0, n, chunk):
-        piece = jnp.asarray(padded[start : start + chunk + k - 1])
-        outs.append(flag_chunk_packed(piece, df, k, snv, min_threshold))
+        outs.append(_gate_words_from_codes(
+            packed, np.int32(start // 16), df, k, snv, min_threshold, chunk))
     words_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     words = np.asarray(words_dev)
-    return packed_to_positions(words, n)
+    iupac_heads, bad_heads = _exception_hints(seq, exc, n, k)
+    return _apply_exceptions(packed_to_positions(words, n), iupac_heads, bad_heads)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -226,23 +398,26 @@ def snv_candidate_positions(
     seq: np.ndarray, df: bloom.DeviceFilter, chunk: int = DEFAULT_CHUNK
 ) -> np.ndarray:
     """Candidate head positions for the SNV fast path (see
-    snv_candidates_chunk).  Same chunked async driver as the polish gate
-    pass."""
+    snv_candidates_chunk).  Same packed-code async driver as the polish
+    gate pass; exception windows (non-ACGT draft bytes) are patched
+    host-side per isAcceptedBase semantics (_exception_hints) — the
+    engine re-tests every hinted head exactly."""
     k = df.k
     L = len(seq)
     n = L - k + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
-    pad_total = (-n) % chunk
-    padded = np.concatenate(
-        [np.asarray(seq, dtype=np.uint8), np.zeros(pad_total + k - 1, np.uint8)]
-    )
+    packed_np, exc = _encode_packed(seq, n, k, chunk)
+    packed = jnp.asarray(packed_np)
     outs = []
     for start in range(0, n, chunk):
-        piece = jnp.asarray(padded[start : start + chunk + k - 1])
-        outs.append(snv_candidates_chunk(piece, df, k))
+        outs.append(_snv_cand_words_from_codes(
+            packed, np.int32(start // 16), df, k, chunk))
     words_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-    return packed_to_positions(np.asarray(words_dev), n)
+    iupac_heads, bad_heads = _exception_hints(seq, exc, n, k)
+    return _apply_exceptions(
+        packed_to_positions(np.asarray(words_dev), n), iupac_heads, bad_heads
+    )
 
 
 def iter_gate_chunks(
@@ -264,14 +439,13 @@ def iter_gate_chunks(
     n = L - k + 1
     if n <= 0:
         return
-    pad_total = (-n) % chunk
-    padded = np.concatenate(
-        [np.asarray(seq, dtype=np.uint8), np.zeros(pad_total + k - 1, np.uint8)]
-    )
+    packed_np, exc = _encode_packed(seq, n, k, chunk)
+    packed = jnp.asarray(packed_np)
+    iupac_heads, bad_heads = _exception_hints(seq, exc, n, k)
     outs = []
     for start in range(0, n, chunk):
-        piece = jnp.asarray(padded[start : start + chunk + k - 1])
-        outs.append((start, flag_chunk_packed(piece, df, k, snv, min_threshold)))
+        outs.append((start, _gate_words_from_codes(
+            packed, np.int32(start // 16), df, k, snv, min_threshold, chunk)))
     for _start, out in outs:
         # queue all device->host copies up front: readbacks then stream
         # behind the compute instead of paying one sync round trip each
@@ -281,8 +455,15 @@ def iter_gate_chunks(
             pass
     for start, out in outs:
         words = np.asarray(out)
-        g = packed_to_positions(words, min(chunk, n - start))
-        yield min(start + chunk, n), g + start
+        g = packed_to_positions(words, min(chunk, n - start)) + start
+        end = min(start + chunk, n)
+        if bad_heads.size:
+            lo, hi = np.searchsorted(bad_heads, (start, end))
+            g = np.setdiff1d(g, bad_heads[lo:hi], assume_unique=True)
+        if iupac_heads.size:
+            lo, hi = np.searchsorted(iupac_heads, (start, end))
+            g = _merge_heads(g, iupac_heads[lo:hi])
+        yield end, g
 
 
 def flag_contig(

@@ -143,6 +143,15 @@ def flag_contig_gates_pallas(seq: np.ndarray, df, snv: bool = False,
     Processes the contig in fixed-shape super-chunks of SUPER_HEADS heads
     (one compile per (k, filter) config regardless of contig length);
     dispatches are issued asynchronously and read back once.
+
+    Hint contract (same as engine.flag.flag_contig_gates): every window
+    touching an accepted-IUPAC draft byte (and no unaccepted byte) is
+    force-included — the repair engines re-evaluate each hinted head with
+    exact host hashes, so the superset only costs probes.  Windows
+    touching unaccepted bytes (N, junk) are already excluded by the
+    in-kernel validity gate (the spec scan skips them,
+    oracle.py:391-409), and the union makes the two dense paths return
+    bit-identical hint sets.
     """
     if not df.blocked:
         raise ValueError("pallas flag kernel requires a blocked filter")
@@ -178,4 +187,8 @@ def flag_contig_gates_pallas(seq: np.ndarray, df, snv: bool = False,
         )
     words_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     words = np.asarray(words_dev)
-    return packed_to_positions(words, n)
+    exc = np.flatnonzero(
+        _flag._CODE_TAB[np.asarray(seq, dtype=np.uint8)] == 255
+    ).astype(np.int64)
+    iupac_heads, _bad = _flag._exception_hints(seq, exc, n, k)
+    return _flag._merge_heads(packed_to_positions(words, n), iupac_heads)
