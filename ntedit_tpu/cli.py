@@ -149,6 +149,14 @@ def _run_engine(
 
     clinvar = writers.read_annotation_vcf(vcf_path) if vcf_path else {}
 
+    from ntedit_tpu.parallel import distributed as dist
+
+    if dist.active():
+        _run_engine_multihost(
+            host_bf, bloomrep, cfg, draft_path, prefix, clinvar,
+        )
+        return prefix
+
     print(
         f"running: {writers.PROGRAM}\n -f {os.path.basename(draft_path)}"
         f"\n -k {k}\n -z {z}\n -b {prefix}\n -r {os.path.basename(bf_path)}"
@@ -199,6 +207,72 @@ def _run_engine(
         flush=True,
     )
     return prefix
+
+
+def _run_engine_multihost(
+    host_bf, bloomrep, cfg, draft_path: str, prefix: str, clinvar: dict
+) -> None:
+    """Multi-host polish: every process owns a contiguous slice of the
+    input contigs (parallel.distributed.process_slice), polishes them
+    against its own copy of the filter, renders each contig's three
+    output fragments locally, and rank 0 writes the merged files in input
+    order after a host allgather (gather_records) — deterministic output,
+    byte-identical to a single-process run (tests/test_multihost.py).
+
+    The reference's only parallelism is per-contig OpenMP threads in one
+    address space (/root/reference/ntedit.cpp:2213); this is the scale-out
+    equivalent the TPU runtime gets for free from the JAX multi-controller
+    model (SURVEY.md §5.8)."""
+    import io as _io
+
+    import jax
+
+    from ntedit_tpu.engine.polish import Polisher
+    from ntedit_tpu.io import fastx, writers
+    from ntedit_tpu.parallel import distributed as dist
+
+    n = fastx.count_records(draft_path)
+    sl = dist.process_slice(n)
+    rank = jax.process_index()
+    print(f"[rank {rank}/{jax.process_count()}] contigs "
+          f"[{sl.start}, {min(sl.stop, n)}) of {n}", flush=True)
+
+    pol = Polisher(host_bf, bloomrep, cfg)
+    t0 = time.time()
+    total_bases = 0
+    n_records = 0
+
+    def owned_stream():
+        for i, rec in enumerate(fastx.read_fastx(draft_path)):
+            if sl.start <= i < sl.stop:
+                yield rec.header, rec.seq
+
+    rendered = []
+    for res in pol.polish(owned_stream()):
+        fa, tsv, vcf = _io.StringIO(), _io.StringIO(), _io.StringIO()
+        writers.write_contig(res, fa, tsv, vcf, clinvar, snv=cfg.snv)
+        rendered.append((fa.getvalue(), tsv.getvalue(), vcf.getvalue()))
+        total_bases += len(res.contig)
+        n_records += len(res.subs)
+    dt = max(time.time() - t0, 1e-9)
+    print(f"[rank {rank}] {len(rendered)} contigs, {total_bases:,} bp in "
+          f"{dt:.2f}s ({total_bases / dt:,.0f} bp/s), {n_records} records",
+          flush=True)
+
+    # process_slice is contiguous in input order and gather_records
+    # concatenates in process order, so the merge IS input order
+    parts = dist.gather_records(rendered)
+    if rank == 0:
+        counting = hasattr(host_bf, "counters")
+        with open(prefix + "_edited.fa", "w") as dfout, \
+             open(prefix + "_changes.tsv", "w") as rfout, \
+             open(prefix + "_variants.vcf", "w") as vfout:
+            rfout.write(writers.changes_tsv_header(cfg.k, cfg.jump, counting))
+            vfout.write(writers.vcf_header(draft_path))
+            for fa, tsv, vcf in parts:
+                dfout.write(fa)
+                rfout.write(tsv)
+                vfout.write(vcf)
 
 
 # ---------------------------------------------------------------------------
@@ -471,6 +545,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    # multi-host join must precede every other JAX call in the process
+    # (parallel.distributed.initialize docstring); unset env -> no-op
+    from ntedit_tpu.parallel import distributed as dist
+
+    dist.initialize_from_env()
     ap = build_parser()
     args = ap.parse_args(argv)
     if args.mode is None:

@@ -140,6 +140,24 @@ def write_fasta(path: str, records) -> None:
             f.write(bytes(seq).decode() + "\n")
 
 
+def count_records(path: str) -> int:
+    """Number of records in a FASTA/FASTQ(.gz) file — a cheap line scan
+    (no sequence assembly), used by the multi-host runtime to compute
+    contiguous per-process contig ownership before the polish pass
+    (parallel.distributed.process_slice)."""
+    n = 0
+    with _open_text_stream(path) as f:
+        first = f.peek(1)[:1]
+        if first == b"@":  # FASTQ: 4 lines per record
+            for lines, _ in enumerate(f, start=1):
+                n = lines
+            return n // 4
+        for line in f:
+            if line.startswith(b">"):
+                n += 1
+    return n
+
+
 def total_length(paths: list[str]) -> int:
     """Sum of sequence lengths (find_genome_size,
     src/ntedit_make_genome_bf.cpp:23-34)."""

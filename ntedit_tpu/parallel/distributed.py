@@ -31,11 +31,51 @@ by the driver's multi-chip dryrun.
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Optional
 
 import jax
 import numpy as np
+
+
+def initialize_from_env() -> None:
+    """Join the multi-controller cluster from environment configuration —
+    the CLI calls this before any other JAX use (ntedit_tpu.cli.main).
+
+    Launch every rank with:
+
+        NTEDIT_TPU_COORDINATOR=host:port
+        NTEDIT_TPU_NUM_PROCESSES=N
+        NTEDIT_TPU_PROCESS_ID=i        python -m ntedit_tpu ...
+
+    On TPU pods, where JAX auto-detects the cluster, set only
+    NTEDIT_TPU_NUM_PROCESSES= (empty) and rely on auto-detection via
+    NTEDIT_TPU_DISTRIBUTED=1.  Unset environment -> single-process no-op.
+
+    NTEDIT_TPU_PLATFORM=cpu forces the platform through jax.config — some
+    PJRT plugins (the tunneled single-chip axon backend here) override a
+    plain JAX_PLATFORMS env var at registration, and a multi-process CPU
+    run MUST NOT have every rank grab the one real chip."""
+    platform = os.environ.get("NTEDIT_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if os.environ.get("NTEDIT_TPU_DISTRIBUTED") == "1":
+        jax.distributed.initialize()
+        return
+    coord = os.environ.get("NTEDIT_TPU_COORDINATOR")
+    if not coord:
+        return
+    initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["NTEDIT_TPU_NUM_PROCESSES"]),
+        process_id=int(os.environ["NTEDIT_TPU_PROCESS_ID"]),
+    )
+
+
+def active() -> bool:
+    """True when this run spans more than one process."""
+    return jax.process_count() > 1
 
 
 def initialize(

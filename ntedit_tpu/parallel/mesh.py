@@ -193,6 +193,29 @@ def sharded_flag(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray, *, k: int,
     return jax.jit(step)(tiles, words)
 
 
+def sharded_snv_candidates(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray,
+                           *, k: int, hash_num: int, nbits: int):
+    """Sharded SNV candidate pass: the device alternate pre-check
+    (engine.flag.snv_candidates_chunk — changelast rehash of all four
+    bases, ntedit.cpp:434-452/1923-1928) over contig tiles sharded across
+    the mesh.  tiles: [T, chunk + k - 1] uint8 with k-1 halos, T divisible
+    by mesh size; filter words replicated.  Returns candidate bitmap
+    words [T, chunk/32] on host — positions with no passing alternate are
+    provably no-ops, so the unpacked set is an exact repair hint under
+    the same eligibility as Polisher._snv_fast_eligible."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("d", None), P()), out_specs=P("d", None),
+        check_vma=False,
+    )
+    def step(tile_shard, w):
+        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
+        return jax.vmap(lambda t: flag.snv_candidates_chunk(t, df, k))(tile_shard)
+
+    return jax.jit(step)(tiles, words)
+
+
 def sharded_confirm(mesh: Mesh, W: np.ndarray, words: jnp.ndarray, *, k: int,
                     jump: int, hash_num: int, nbits: int):
     """Sharded flagged-site confirmation: the subset-missing scan
@@ -260,13 +283,45 @@ def sharded_polish(
     k = cfg.k
     D = mesh.devices.size
     tiles, n_heads = tile_contig(draft, chunk, k, n_tiles_multiple=D)
+    if threads is None:
+        threads = max(2, D)
+    res = None
+    if cfg.snv:
+        # SNV at scale: the device alternate pre-check is an exact hint
+        # under the same eligibility as Polisher._snv_fast_eligible
+        # (plain filter, no reject BF, mode != 2, mask off) — the
+        # reference's marquee large-scale mode (README.md:48-49) through
+        # the sharded pass (ntedit.cpp:1890-1914, 2411-2420)
+        eligible = (
+            not hasattr(host_bf, "counters")
+            and cfg.mode != 2
+            and not cfg.mask
+        )
+        if eligible:
+            cw = sharded_snv_candidates(
+                mesh, tiles, words, k=k, hash_num=cfg.hash_num,
+                nbits=host_bf.bits,
+            )
+            cand_all = flag.packed_to_positions(
+                np.asarray(cw).reshape(-1), n_heads
+            )
+            res = native_repair.polish_contig_segmented(
+                host_bf, None, cfg, header, bytes(draft), cand_all,
+                threads=threads, allow_snv=True,
+            )
+            if res is None:
+                res = native_repair.polish_contig_native(
+                    host_bf, None, cfg, header,
+                    np.frombuffer(bytes(draft), np.uint8),
+                    gate_hint=cand_all,
+                )
+        if res is not None:
+            return res
     gate = sharded_flag(
         mesh, tiles, words, k=k, hash_num=cfg.hash_num, nbits=host_bf.bits,
         snv=cfg.snv, min_threshold=cfg.min_threshold,
     )
     gates = np.nonzero(np.asarray(gate).reshape(-1)[:n_heads])[0].astype(np.int64)
-    if threads is None:
-        threads = max(2, D)
     res = None
     if not cfg.snv:
         res = native_repair.polish_contig_segmented(

@@ -120,6 +120,35 @@ def test_sharded_polish_equals_single():
     assert render(sharded) == render(ref)
 
 
+def test_sharded_snv_equals_sequential():
+    """SNV through the sharded path (device alternate pre-check hint +
+    hinted repair) == the sequential SNV oracle — records and draft
+    byte-identical (VERDICT r2 item 4)."""
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.oracle import Oracle
+
+    truth = simulate.random_genome(20000, seed=70)
+    # SNV input: reference genome vs reads that carry variants — simulate
+    # by inserting variant k-mers into the filter alongside the truth's
+    variant = truth.copy()
+    rng = np.random.default_rng(71)
+    for pos in rng.integers(100, len(truth) - 100, size=12):
+        variant[pos] = b"ACGT"[int(rng.integers(0, 4))]
+    host = bloom.KmerBloomFilter.zeros(NBITS // 8, H, K)
+    host.insert_seq(truth)
+    host.insert_seq(variant)
+    words = bloom._pack_words(host.data)
+    cfg = EngineConfig(k=K, hash_num=H, snv=True)
+
+    mesh = pmesh.make_mesh(8)
+    sharded = pmesh.sharded_polish(mesh, "ctg", truth, host, words, cfg)
+    ref = Oracle(host, None, cfg).polish_contig("ctg", bytes(truth))
+
+    assert sharded.edited == ref.edited
+    assert sharded.subs == ref.subs
+    assert len(sharded.subs) >= 1  # the variants must surface as records
+
+
 def test_sharded_polish_mesh_sizes():
     """2-shard == 4-shard == 8-shard polish (merge is mesh-size blind)."""
     truth = simulate.random_genome(12000, seed=62)
