@@ -358,7 +358,8 @@ def orchestrate():
     subprocess with a hard timeout and one retry, so a tunnel wedge at
     any point costs one section attempt, never the headline line."""
     rec = _run_section("--ecoli-only", 480.0, 2)
-    scale = _run_section("--scale-only", 300.0, 1)
+    scale = _run_section("--scale-only", 420.0, 2)
+    giant = _run_section("--giant-only", 540.0, 1)
     if rec is None:
         rec = {
             "metric": "bases_polished_per_sec_chip_ecoli_k25",
@@ -368,20 +369,81 @@ def orchestrate():
     if scale is not None:
         log(json.dumps(scale))
         rec["scale_50mbp_vs_baseline"] = scale.get("vs_baseline")
+        rec["scale_50mbp_vs_reference_engine"] = scale.get("vs_reference_engine")
     else:
         rec["scale_50mbp_vs_baseline"] = None
+    if giant is not None:
+        log(json.dumps(giant))
+        rec["scale_250mbp_vs_baseline"] = giant.get("vs_baseline")
     print(json.dumps(rec))
+
+
+def _build_scale_corpus(scale: int, seed: int):
+    """Simulated draft + device-built blocked filter at `scale` bp."""
+    from ntedit_tpu.core import bfbuild, bloom
+    from ntedit_tpu.utils import simulate
+
+    truth = simulate.random_genome(scale, seed=seed)
+    draft, _ = simulate.inject_errors(
+        truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=seed + 1
+    )
+    # blocked-filter probes index WORDS (int32-safe to 2^31 words); size
+    # for FPR ~0.004, capped at 512 MiB
+    nbits = min(bloom.pow2_size_bytes(scale, 3, 0.001) * 8, 1 << 32)
+    builder = bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10)
+    B = bfbuild._DEV_BATCH
+    for s in range(0, scale, B):
+        builder.insert_batch(truth[s : min(scale, s + B + K - 1)], 1)
+    return truth, draft, builder.finish(), nbits
+
+
+def _plain_bf_artifacts(truth, scale: int, nbits: int, td: str, draft):
+    """Plain btllib-layout filter + FASTA on disk for the C++ engines,
+    built on device (host insert at this scale costs minutes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ntedit_tpu.core import bfbuild, bloom
+    from ntedit_tpu.parallel import mesh as pmesh
+
+    B = bfbuild._DEV_BATCH
+    acc = None
+    or_ = jax.jit(jnp.bitwise_or)
+    for s in range(0, scale, B):
+        row = np.zeros(B + K - 1, dtype=np.uint8)
+        chunk = truth[s : min(scale, s + B + K - 1)]
+        row[: len(chunk)] = chunk
+        w = pmesh.build_bf_words(jnp.asarray(row[None]), K, 3, nbits)
+        acc = w if acc is None else or_(acc, w)
+    pbf = bloom.KmerBloomFilter(np.asarray(acc).view(np.uint8).copy(), 3, K)
+    fa = os.path.join(td, "d.fa")
+    with open(fa, "w") as f:
+        f.write(">c\n" + draft.tobytes().decode() + "\n")
+    bfp = os.path.join(td, "t.bf")
+    pbf.save(bfp)
+    return fa, bfp
+
+
+def _time_binary(cmd, runs: int):
+    """Median wall-clock of `runs` executions (live denominator: this
+    host's CPU speed varies run to run)."""
+    times = []
+    for _ in range(runs):
+        t = time.time()
+        subprocess.run(cmd, check=True, capture_output=True)
+        times.append(time.time() - t)
+    return sorted(times)[len(times) // 2]
 
 
 def scale_main():
     """--scale-only: the 50 Mbp scale section, isolated in its own
-    process.  The C++ baseline runs on the SAME 50 Mbp workload (its
-    128 MiB filter misses cache exactly like ours), timed live.  Prints
-    one JSON line on stdout; progress on stderr."""
-    from ntedit_tpu.core import bfbuild, bloom
+    process.  Both C++ denominators run on the SAME 50 Mbp workload (the
+    128 MiB filter misses cache exactly like ours), timed live:
+    ntedit_baseline (median of 5) and the UNMODIFIED reference engine
+    itself (native/reference_ntedit, median of 3).  Prints one JSON line
+    on stdout; progress on stderr."""
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
-    from ntedit_tpu.utils import simulate
 
     if not wait_device():
         # the 50 Mbp build/polish is sized for the chip; on the CPU
@@ -391,18 +453,7 @@ def scale_main():
         raise SystemExit(1)
     SCALE = 50_000_000
     t7 = time.time()
-    truth50 = simulate.random_genome(SCALE, seed=52)
-    draft50, _ = simulate.inject_errors(
-        truth50, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=53
-    )
-    # blocked-filter bit indices are int32 on device: cap at 2^30 bits
-    # (128 MiB, FPR ~0.004 at 50 M k-mers — fine for a throughput bench)
-    nbits50 = min(bloom.pow2_size_bytes(SCALE, 3, 0.001) * 8, 1 << 30)
-    builder = bfbuild.DeviceFilterBuilder(K, 3, nbits50, 1 << 10)
-    B = bfbuild._DEV_BATCH
-    for s in range(0, SCALE, B):
-        builder.insert_batch(truth50[s : min(SCALE, s + B + K - 1)], 1)
-    bf50 = builder.finish()
+    truth50, draft50, bf50, nbits50 = _build_scale_corpus(SCALE, seed=52)
     cfg = EngineConfig(k=K, hash_num=3)
     pol50 = Polisher(bf50, None, cfg)
     log(f"# scale setup {time.time()-t7:.1f}s: 50 Mbp draft, "
@@ -416,36 +467,25 @@ def scale_main():
     dt50 = sorted(t50)[1]
 
     baseline50 = None
+    ref50 = None
     binary = os.path.join(HERE, "native", "ntedit_baseline")
+    ref_bin = os.path.join(HERE, "native", "reference_ntedit")
     if os.path.exists(binary):
         try:
-            import jax
-            import jax.numpy as jnp
-
-            from ntedit_tpu.parallel import mesh as pmesh
-
-            acc = None
-            or_ = jax.jit(jnp.bitwise_or)
-            for s in range(0, SCALE, B):
-                row = np.zeros(B + K - 1, dtype=np.uint8)
-                chunk50 = truth50[s : min(SCALE, s + B + K - 1)]
-                row[: len(chunk50)] = chunk50
-                w = pmesh.build_bf_words(jnp.asarray(row[None]), K, 3, nbits50)
-                acc = w if acc is None else or_(acc, w)
-            pbf50 = bloom.KmerBloomFilter(
-                np.asarray(acc).view(np.uint8).copy(), 3, K
-            )
             with tempfile.TemporaryDirectory() as td:
-                fa = os.path.join(td, "d50.fa")
-                with open(fa, "w") as f:
-                    f.write(">c\n" + draft50.tobytes().decode() + "\n")
-                bfp = os.path.join(td, "t50.bf")
-                pbf50.save(bfp)
-                out50 = subprocess.check_output([binary, fa, bfp]).decode()
-            stats50 = json.loads(out50)
-            baseline50 = float(stats50["bases_per_sec"])
-            log(f"# 50 Mbp C++ baseline (live): {baseline50:,.0f} bp/s "
-                f"({stats50['seconds']}s)")
+                fa, bfp = _plain_bf_artifacts(truth50, SCALE, nbits50, td, draft50)
+                dt_base = _time_binary([binary, fa, bfp], 5)
+                baseline50 = SCALE / dt_base
+                log(f"# 50 Mbp C++ baseline (live, median of 5): "
+                    f"{baseline50:,.0f} bp/s ({dt_base:.2f}s)")
+                if os.path.exists(ref_bin):
+                    dt_ref = _time_binary(
+                        [ref_bin, "-f", fa, "-r", bfp, "-b",
+                         os.path.join(td, "ref"), "-t", "4"], 3)
+                    ref50 = SCALE / dt_ref
+                    log(f"# 50 Mbp REFERENCE engine (unmodified ntedit.cpp, "
+                        f"live, median of 3, -t 4): {ref50:,.0f} bp/s "
+                        f"({dt_ref:.2f}s)")
         except Exception as exc:
             log(f"# 50 Mbp baseline measurement skipped: {exc}")
     baseline50 = (
@@ -454,18 +494,77 @@ def scale_main():
         or measured_cpp_baseline()
         or BASELINE_BASES_PER_SEC
     )
-    print(json.dumps({
+    rec = {
         "metric": "bases_polished_per_sec_chip_50mbp_k25",
         "value": round(SCALE / dt50, 1), "unit": "bases/s",
         "vs_baseline": round(SCALE / dt50 / baseline50, 2),
         "edits": len(r50.subs),
         "wall_ms": round(dt50 * 1e3, 1),
+    }
+    if ref50:
+        rec["vs_reference_engine"] = round(SCALE / dt50 / ref50, 2)
+    print(json.dumps(rec))
+
+
+def giant_main():
+    """--giant-only: a 250 Mbp single-contig polish (human-chromosome
+    class) — device-built 512 MiB filter, one packed upload, streamed
+    chunked dense pass, threaded repair.  The C++ baseline runs once on
+    the same corpus (its wall-clock alone exceeds our whole section)."""
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+
+    if not wait_device():
+        log("# giant section skipped: device unavailable")
+        raise SystemExit(1)
+    SCALE = 250_000_000
+    t0 = time.time()
+    truth, draft, bf, nbits = _build_scale_corpus(SCALE, seed=72)
+    cfg = EngineConfig(k=K, hash_num=3)
+    pol = Polisher(bf, None, cfg)
+    log(f"# giant setup {time.time()-t0:.1f}s: 250 Mbp draft, "
+        f"BF {nbits>>23} MiB (device-built)")
+    import resource
+
+    r = pol.polish_contig("chr1", draft)  # warm
+    times = []
+    for _ in range(2):
+        t1 = time.time()
+        r = pol.polish_contig("chr1", draft)
+        times.append(time.time() - t1)
+    dt = min(times)
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    log(f"# 250 Mbp polish: {dt:.2f}s ({SCALE/dt:,.0f} bp/s), "
+        f"{len(r.subs)} records, peak RSS {rss:.1f} GB")
+
+    baseline = None
+    binary = os.path.join(HERE, "native", "ntedit_baseline")
+    if os.path.exists(binary):
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                fa, bfp = _plain_bf_artifacts(truth, SCALE, nbits, td, draft)
+                dt_base = _time_binary([binary, fa, bfp], 1)
+                baseline = SCALE / dt_base
+                log(f"# 250 Mbp C++ baseline (live, 1 run): "
+                    f"{baseline:,.0f} bp/s ({dt_base:.1f}s)")
+        except Exception as exc:
+            log(f"# 250 Mbp baseline measurement skipped: {exc}")
+    baseline = baseline or measured_cpp_baseline() or BASELINE_BASES_PER_SEC
+    print(json.dumps({
+        "metric": "bases_polished_per_sec_chip_250mbp_k25",
+        "value": round(SCALE / dt, 1), "unit": "bases/s",
+        "vs_baseline": round(SCALE / dt / baseline, 2),
+        "edits": len(r.subs),
+        "wall_ms": round(dt * 1e3, 1),
+        "peak_rss_gb": round(rss, 2),
     }))
 
 
 if __name__ == "__main__":
     if "--scale-only" in sys.argv:
         scale_main()
+    elif "--giant-only" in sys.argv:
+        giant_main()
     elif "--ecoli-only" in sys.argv:
         main()
     else:

@@ -37,6 +37,12 @@ def main(outdir: str = ".") -> None:
         os.path.join(outdir, "demo_draft.fa"),
         [("demo_contig synthetic", draft.tobytes())],
     )
+    # the truth genome doubles as the comparison assembly for the SNV
+    # --genome flavor (run-ntedit snv --genome contract)
+    fastx.write_fasta(
+        os.path.join(outdir, "demo_genome.fa"),
+        [("demo_genome synthetic", truth.tobytes())],
+    )
     rng = np.random.default_rng(2028)
     n_reads = GENOME_LEN * COVERAGE // READ_LEN
     with gzip.open(os.path.join(outdir, "demoReads_1.fq.gz"), "wt") as f:

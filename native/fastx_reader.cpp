@@ -14,6 +14,7 @@
 
 #include <zlib.h>
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -183,6 +184,61 @@ long ntpu_fastx_next(void* h, uint8_t* seq_buf, long seq_cap, long* seq_offs,
 const char* ntpu_fastx_error(void* h) {
   auto* r = static_cast<Reader*>(h);
   return r->err.c_str();
+}
+
+// 2-bit base codes packed 16 per uint32 word (little-endian bit order:
+// code j of word w covers draft position 16*w + j at bits [2j, 2j+2)):
+// ACGT/acgt -> 0..3; every other byte is an "exception" — coded 0, its
+// position appended to exc (capacity exc_cap).  Returns the total
+// exception count (callers re-call with a larger buffer if it exceeds
+// exc_cap).  need must be a multiple of 16; positions in [m, need) pad
+// as code 0.  Single sequential pass — the numpy fallback in
+// engine.flag._encode_packed needs ~5 memory passes for the same job.
+long ntpu_encode_2bit(const uint8_t* seq, long m, long need,
+                      uint32_t* packed, long* exc, long exc_cap) {
+  static const auto tab = [] {
+    std::array<uint8_t, 256> t{};
+    t.fill(255);
+    const char* b = "ACGT";
+    for (int i = 0; i < 4; ++i) {
+      t[static_cast<uint8_t>(b[i])] = static_cast<uint8_t>(i);
+      t[static_cast<uint8_t>(b[i] + 32)] = static_cast<uint8_t>(i);
+    }
+    return t;
+  }();
+  long nexc = 0;
+  const long nw = need / 16;
+  const long full = (m < need ? m : need) / 16;  // words with all 16 in-range
+  for (long w = 0; w < full; ++w) {
+    const uint8_t* p = seq + w * 16;
+    uint32_t word = 0;
+    for (int j = 0; j < 16; ++j) {
+      uint8_t c = tab[p[j]];
+      if (__builtin_expect(c == 255, 0)) {
+        if (nexc < exc_cap) exc[nexc] = w * 16 + j;
+        ++nexc;
+        c = 0;
+      }
+      word |= static_cast<uint32_t>(c) << (2 * j);
+    }
+    packed[w] = word;
+  }
+  for (long w = full; w < nw; ++w) {  // tail: partial or padding words
+    uint32_t word = 0;
+    for (int j = 0; j < 16; ++j) {
+      const long pos = w * 16 + j;
+      if (pos >= m) break;
+      uint8_t c = tab[seq[pos]];
+      if (c == 255) {
+        if (nexc < exc_cap) exc[nexc] = pos;
+        ++nexc;
+        c = 0;
+      }
+      word |= static_cast<uint32_t>(c) << (2 * j);
+    }
+    packed[w] = word;
+  }
+  return nexc;
 }
 
 }  // extern "C"

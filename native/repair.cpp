@@ -235,6 +235,31 @@ struct Filter {
     if (kind == 2) return count_of(canon) > 0;
     return contains_plain(canon);
   }
+
+  // Issue cache prefetches for every line contains()/count_of() will
+  // touch for this hash.  Read-only hint: never changes results, only
+  // overlaps the DRAM misses of upcoming probes (the filter is 100s of
+  // MiB at scale — each probe is a guaranteed cache miss otherwise).
+  inline void prefetch(uint64_t canon) const {
+    if (kind == 1) {
+      __builtin_prefetch(&words[canon & (nwords - 1)], 0, 1);
+      return;
+    }
+    uint64_t h = canon;
+    for (int i = 0; i < hash_num; ++i) {
+      if (i) {
+        uint64_t mult = (uint64_t)i ^ ((uint64_t)k * nth::MULTISEED);
+        h = canon * mult;
+        h ^= h >> nth::MULTISHIFT;
+      }
+      if (kind == 2) {
+        __builtin_prefetch(&data[h % nbytes], 0, 1);
+      } else {
+        uint64_t idx = pow2 ? (h & mask) : (h % bits);
+        __builtin_prefetch(&data[idx >> 3], 0, 1);
+      }
+    }
+  }
   // BFLike.get_count: 1 for non-counting
   inline uint8_t get_count(uint64_t canon) const {
     if (kind == 2) return count_of(canon);
@@ -600,14 +625,16 @@ struct Engine {
     return bf.get_count(nth::canonical(fh, rh));
   }
   // is_kmer_solid (oracle._solid; ntedit.cpp:465-473)
-  inline bool solid(uint64_t fh, uint64_t rh) const {
-    uint64_t canon = nth::canonical(fh, rh);
+  inline bool solid_canon(uint64_t canon) const {
     if (has_rep && bfrep.contains(canon)) return false;
     if (bf.counting()) {
       uint8_t c = bf.count_of(canon);
       return p.min_threshold <= c && c <= p.max_threshold;
     }
     return true;
+  }
+  inline bool solid(uint64_t fh, uint64_t rh) const {
+    return solid_canon(nth::canonical(fh, rh));
   }
 
   // _inc (oracle.py:479-488): span cells advance seq; landing on a span
@@ -709,17 +736,27 @@ struct Engine {
     uint64_t tfh = nth::chlast_fwd(fh, draft_char, new_last);
     uint64_t trh = nth::chlast_rev(rh, draft_char, new_last);
     int check_present = 0;
-    if (contains(tfh, trh) && solid(tfh, trh)) ++check_present;
+    // two-phase stride verify (hash+prefetch, then probe)
+    uint64_t dcanon[256];
+    int nd = 0;
+    dcanon[nd] = nth::canonical(tfh, trh);
+    bf.prefetch(dcanon[nd]);
+    ++nd;
     for (int kk = 1; kk < p.k - 1; ++kk) {
       if (tmp.h.idx >= rope.length) break;
       uint8_t co, ci;
       if (roll(tmp, co, ci)) {
         tfh = nth::next_fwd(tfh, co, ci);
         trh = nth::next_rev(trh, co, ci);
-        if (kk % p.jump == 0 && contains(tfh, trh) && solid(tfh, trh))
-          ++check_present;
+        if (kk % p.jump == 0) {
+          uint64_t c2 = nth::canonical(tfh, trh);
+          bf.prefetch(c2);
+          dcanon[nd++] = c2;
+        }
       }
     }
+    for (int i2 = 0; i2 < nd; ++i2)
+      if (bf.contains(dcanon[i2]) && solid_canon(dcanon[i2])) ++check_present;
     if ((double)check_present >= p.present_needed_deletion) {
       deleted_out = deleted;
       return check_present;
@@ -741,6 +778,10 @@ struct Engine {
       uint64_t trh = nth::chlast_rev(rh, draft_char, index_char);
       int check_present = 0;
       int kk = 0;
+      // two-phase stride verify (hash+prefetch, then probe) across both
+      // roll phases — same probe set/results as the interleaved loops
+      uint64_t icanon[256];
+      int ni = 0;
       // phase 1: roll the remaining insertion chars in while the head
       // consumes buffer chars (oracle.py:616-629)
       while (kk < (int)ins.size() - 1 && tmp.h.idx < rope.length) {
@@ -749,8 +790,11 @@ struct Engine {
         tfh = nth::next_fwd(tfh, co, cin);
         trh = nth::next_rev(trh, co, cin);
         inc(tmp.h, tmp.h_seq);
-        if (kk % p.jump == 0 && contains(tfh, trh) && solid(tfh, trh))
-          ++check_present;
+        if (kk % p.jump == 0) {
+          uint64_t c2 = nth::canonical(tfh, trh);
+          bf.prefetch(c2);
+          icanon[ni++] = c2;
+        }
         ++kk;
       }
       // phase 2: continue through the draft (oracle.py:630-641)
@@ -759,11 +803,16 @@ struct Engine {
         if (roll(tmp, co, ci)) {
           tfh = nth::next_fwd(tfh, co, ci);
           trh = nth::next_rev(trh, co, ci);
-          if (kk % p.jump == 0 && contains(tfh, trh) && solid(tfh, trh))
-            ++check_present;
+          if (kk % p.jump == 0) {
+            uint64_t c2 = nth::canonical(tfh, trh);
+            bf.prefetch(c2);
+            icanon[ni++] = c2;
+          }
         }
         ++kk;
       }
+      for (int i2 = 0; i2 < ni; ++i2)
+        if (bf.contains(icanon[i2]) && solid_canon(icanon[i2])) ++check_present;
       std::string ins_str = ins.substr(0, ins.size() - 1);
       if ((double)check_present >= p.present_needed) {
         if (p.mode == 0) {
@@ -909,6 +958,13 @@ struct Engine {
     int check_missing = 0, check_there = 0;
     std::vector<uint8_t> there_med;
     bool do_not_fix = false;
+    // two-phase stride scan: roll all k windows first (hash-only, with
+    // probe-line prefetches), then probe.  Only kk % jump == 0 results
+    // are consumed (oracle.py:893-906), so non-stride probes are skipped
+    // entirely; prefetching overlaps the remaining DRAM misses.  Bitwise
+    // identical to the interleaved scan: probes are pure reads.
+    uint64_t stride_canon[256];
+    int n_stride = 0;
     for (int kk = 0; kk < k; ++kk) {
       if (tmp.h.idx >= rope.length) break;
       uint8_t co, ci;
@@ -916,11 +972,18 @@ struct Engine {
       tfh = nth::next_fwd(tfh, co, ci);
       trh = nth::next_rev(trh, co, ci);
       if (!ACCEPTED[upper(ci)]) { do_not_fix = true; break; }
-      uint64_t canon = nth::canonical(tfh, trh);
+      if (kk % p.jump == 0) {
+        uint64_t canon = nth::canonical(tfh, trh);
+        bf.prefetch(canon);
+        stride_canon[n_stride++] = canon;
+      }
+    }
+    for (int i = 0; i < n_stride; ++i) {
+      uint64_t canon = stride_canon[i];
       bool cont = bf.contains(canon);
-      if (kk % p.jump == 0 && !cont) {
+      if (!cont) {
         ++check_missing;
-      } else if (IS_ATGC[draft_char] && kk % p.jump == 0 && cont &&
+      } else if (IS_ATGC[draft_char] &&
                  (!counting() || bf.count_of(canon) >= p.min_threshold)) {
         ++check_there;
         if (counting()) there_med.push_back(bf.count_of(canon));
@@ -956,14 +1019,25 @@ struct Engine {
         State vtmp = st;
         uint64_t vfh = sfh, vrh = srh;
         int check_present = 0;
+        // two-phase stride verify (hash+prefetch, then probe) — same
+        // probe set and results as the interleaved loop
+        uint64_t vcanon[256];
+        int nv = 0;
         for (int kk = 0; kk < k; ++kk) {
           if (vtmp.h.idx >= rope.length || vtmp.t.idx >= rope.length) break;
           uint8_t co, ci;
           if (!roll(vtmp, co, ci)) break;
           vfh = nth::next_fwd(vfh, co, ci);
           vrh = nth::next_rev(vrh, co, ci);
-          if (kk % p.jump == 0 && contains(vfh, vrh) && solid(vfh, vrh))
-            ++check_present;
+          if (kk % p.jump == 0) {
+            uint64_t c2 = nth::canonical(vfh, vrh);
+            bf.prefetch(c2);
+            vcanon[nv++] = c2;
+          }
+        }
+        for (int i2 = 0; i2 < nv; ++i2) {
+          uint64_t c2 = vcanon[i2];
+          if (bf.contains(c2) && solid_canon(c2)) ++check_present;
         }
         // revert
         if (on_span) rope.contig[orig] = saved;
@@ -1019,6 +1093,17 @@ struct Engine {
     int64_t dirty_until = 0;
     dirty_hint = 0;
     bool continue_edit = true;
+    // Speculative look-ahead cursor: rolls PF_DIST heads ahead of the
+    // main scan issuing prefetches for the probe lines the main loop is
+    // about to need (each is a guaranteed DRAM miss on a 100s-of-MiB
+    // filter).  Prefetches never change results; the cursor resyncs
+    // whenever the scan jumps (hint fast-forward) or a site is gated
+    // (fix_site may edit the rope, staling look-ahead bytes).
+    const int PF_DIST = 24;
+    State sp = st;
+    uint64_t spfh = fh, sprh = rh;
+    int ahead = 0;
+    bool sp_live = true;
     while (continue_edit) {
       if (st.h_seq + k - 1 >= L) break;
       if (gates && st.h_seq >= dirty_until && st.h.idx < rope.length &&
@@ -1038,7 +1123,27 @@ struct Engine {
           for (int i = 0; i < k; ++i) { window[i] = rope.char_at(cw); rope.advance(cw); }
           fh = nth::fwd_hash(window, k);
           rh = nth::rev_hash(window, k);
+          sp = st; spfh = fh; sprh = rh; ahead = 0; sp_live = true;
+          // prefetch the upcoming hint heads too: in clean regions their
+          // windows are pure draft bytes, so their hashes are exact
+          for (int64_t d = 1; d <= 4 && hint_i + d < n_gates; ++d) {
+            int64_t g2 = gates[hint_i + d];
+            if (g2 + k <= L)
+              bf.prefetch(nth::canonical(nth::fwd_hash(rope.contig + g2, k),
+                                         nth::rev_hash(rope.contig + g2, k)));
+          }
         }
+      }
+      if (ahead < 0) {  // main scan overtook the cursor: jump it forward
+        sp = st; spfh = fh; sprh = rh; ahead = 0; sp_live = true;
+      }
+      while (sp_live && ahead < PF_DIST) {
+        uint8_t co, ci;
+        if (!roll(sp, co, ci)) { sp_live = false; break; }
+        spfh = nth::next_fwd(spfh, co, ci);
+        sprh = nth::next_rev(sprh, co, ci);
+        bf.prefetch(nth::canonical(spfh, sprh));
+        ++ahead;
       }
       uint64_t canon = nth::canonical(fh, rh);
       bool gate = p.snv || !bf.contains(canon) ||
@@ -1048,6 +1153,7 @@ struct Engine {
         if (fix_site(draft_char, st, fh, rh)) {
           if (dirty_hint > dirty_until) dirty_until = dirty_hint;
         }
+        sp = st; spfh = fh; sprh = rh; ahead = 0; sp_live = true;
       }
       // bottom roll with non-ACGT skip (oracle.py:866-878)
       int64_t target = -1;
@@ -1057,6 +1163,7 @@ struct Engine {
         if (!ACCEPTED[upper(ci)]) target = st.t_seq + k;
         fh = nth::next_fwd(fh, co, ci);
         rh = nth::next_rev(rh, co, ci);
+        --ahead;
         if (!(target >= 0 && st.t_seq != target)) break;
       }
     }

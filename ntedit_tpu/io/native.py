@@ -56,10 +56,39 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
             ctypes.c_long,
         ]
+        if hasattr(lib, "ntpu_encode_2bit"):
+            lib.ntpu_encode_2bit.restype = ctypes.c_long
+            lib.ntpu_encode_2bit.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ]
         _LIB = lib
     except OSError:
         _LIB = None
     return _LIB
+
+
+def encode_2bit(seq: np.ndarray, need: int):
+    """Single-pass native 2-bit encode (ntpu_encode_2bit): ASCII [L] ->
+    (packed uint32 [need/16], exception positions int64).  Returns None
+    when the library is unavailable (callers fall back to numpy)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ntpu_encode_2bit"):
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    m = min(len(seq), need)
+    packed = np.empty(need // 16, dtype=np.uint32)
+    cap = 1024
+    while True:
+        exc = np.empty(cap, dtype=np.int64)
+        n = lib.ntpu_encode_2bit(
+            seq.ctypes.data_as(ctypes.c_void_p), m, need,
+            packed.ctypes.data_as(ctypes.c_void_p),
+            exc.ctypes.data_as(ctypes.c_void_p), cap,
+        )
+        if n <= cap:
+            return packed, exc[:n].copy()
+        cap = int(n)
 
 
 def read_batches(path: str, want_headers: bool = True) -> Iterator[
