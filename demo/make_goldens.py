@@ -59,6 +59,7 @@ def main() -> None:
         raise SystemExit("build the reference first: make -C native reference_ntedit")
     os.environ.setdefault("NTEDIT_TPU_DEVICE_BUILD", "0")
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("NTEDIT_TPU_PLATFORM", "cpu")
 
     from ntedit_tpu import cli
     from ntedit_tpu.core import bfbuild

@@ -32,4 +32,22 @@ def _enable_persistent_compile_cache() -> None:
         pass  # older jax or read-only home: compile-per-process still works
 
 
+def _apply_platform_override() -> None:
+    """NTEDIT_TPU_PLATFORM=cpu|tpu|... forces the JAX platform through
+    jax.config.  Some PJRT plugins (the tunneled single-chip axon backend
+    in this environment) re-force their platform at registration, so a
+    plain JAX_PLATFORMS env var is silently ignored — hermetic CPU runs
+    (demo goldens, multi-process tests) need the config-level override."""
+    plat = _os.environ.get("NTEDIT_TPU_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 _enable_persistent_compile_cache()
+_apply_platform_override()

@@ -151,6 +151,17 @@ def _halo_words(k: int) -> int:
     return (k - 2) // 16 + 1
 
 
+def _effective_chunk(n: int, chunk: int) -> int:
+    """Smallest power-of-two chunk >= n, clamped to [2^15, chunk]: short
+    contigs (most of a real draft) don't pay the full-chunk program's
+    padded compute, while every contig length still maps onto one of at
+    most log2(chunk/2^15)+1 compiled shapes."""
+    c = 1 << 15
+    while c < n and c < chunk:
+        c <<= 1
+    return min(c, chunk)
+
+
 def _encode_packed(seq: np.ndarray, n: int, k: int, chunk: int):
     """ASCII draft [L] -> (packed uint32 words, exception positions).
 
@@ -344,6 +355,7 @@ def flag_contig_gates(
     n = L - k + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
+    chunk = _effective_chunk(n, chunk)
     packed_np, exc = _encode_packed(seq, n, k, chunk)
     packed = jnp.asarray(packed_np)
     outs = []
@@ -425,6 +437,7 @@ def snv_candidate_positions(
     n = L - k + 1
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
+    chunk = _effective_chunk(n, chunk)
     packed_np, exc = _encode_packed(seq, n, k, chunk)
     packed = jnp.asarray(packed_np)
     outs = []
@@ -457,6 +470,7 @@ def iter_gate_chunks(
     n = L - k + 1
     if n <= 0:
         return
+    chunk = _effective_chunk(n, chunk)
     packed_np, exc = _encode_packed(seq, n, k, chunk)
     packed = jnp.asarray(packed_np)
     iupac_heads, bad_heads = _exception_hints(seq, exc, n, k)
@@ -501,6 +515,7 @@ def flag_contig(
     if n <= 0:
         z = np.zeros(0, dtype=bool)
         return z, z, np.zeros(0, np.uint8), z
+    chunk = _effective_chunk(n, chunk)
     gates, presents, counts, valids = [], [], [], []
     # pad the tail so every chunk has identical shape (one compile)
     pad_total = (-n) % chunk

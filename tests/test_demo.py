@@ -34,3 +34,18 @@ def test_demo_golden_outputs(tmp_path, monkeypatch):
     with gzip.open(os.path.join(DEMO, "golden_edited.fa.gz"), "rb") as f:
         want_fa = f.read()
     assert got_fa == want_fa, "edited.fa differs from the golden"
+
+
+def test_demo_all_modes_against_reference_goldens(tmp_path):
+    """bash demo/runme.sh — every mode (polish, -m 1, CBF -p/-q, -a 1,
+    SNV vs reads, SNV vs genome, -l annotation) byte-diffed against
+    goldens produced by the UNMODIFIED reference engine
+    (demo/make_goldens.py), 9 golden files total."""
+    env = dict(os.environ)
+    env["NTEDIT_TPU_PLATFORM"] = "cpu"
+    res = subprocess.run(
+        ["bash", os.path.join(DEMO, "runme.sh"), str(tmp_path)],
+        capture_output=True, text=True, timeout=800, env=env,
+    )
+    assert res.returncode == 0, f"runme.sh failed:\n{res.stdout}\n{res.stderr}"
+    assert "9 outputs byte-identical" in res.stdout
