@@ -346,7 +346,12 @@ def _run_section(flag_arg: str, timeout_s: float, retries: int):
             for ln in child.stderr.splitlines():
                 if "WARNING" not in ln:
                     log(ln)
-            return json.loads(child.stdout.strip().splitlines()[-1])
+            out = child.stdout.strip().splitlines()
+            if not out:
+                log(f"# section {flag_arg} attempt {attempt}: no output "
+                    f"(device unavailable for the whole attempt)")
+                continue
+            return json.loads(out[-1])
         except Exception as exc:
             log(f"# section {flag_arg} attempt {attempt} failed: "
                 f"{type(exc).__name__}")
@@ -358,8 +363,8 @@ def orchestrate():
     subprocess with a hard timeout and one retry, so a tunnel wedge at
     any point costs one section attempt, never the headline line."""
     rec = _run_section("--ecoli-only", 480.0, 2)
-    scale = _run_section("--scale-only", 420.0, 2)
-    giant = _run_section("--giant-only", 540.0, 1)
+    scale = _run_section("--scale-only", 780.0, 2)
+    giant = _run_section("--giant-only", 900.0, 2)
     if rec is None:
         rec = {
             "metric": "bases_polished_per_sec_chip_ecoli_k25",
@@ -445,7 +450,7 @@ def scale_main():
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
 
-    if not wait_device():
+    if not wait_device(max_wait=480.0):
         # the 50 Mbp build/polish is sized for the chip; on the CPU
         # fallback it cannot finish inside the section budget — skip
         # (the orchestrator reports scale_50mbp_vs_baseline: null)
@@ -514,7 +519,7 @@ def giant_main():
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
 
-    if not wait_device():
+    if not wait_device(max_wait=480.0):
         log("# giant section skipped: device unavailable")
         raise SystemExit(1)
     SCALE = 250_000_000

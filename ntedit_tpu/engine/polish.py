@@ -89,17 +89,30 @@ class Polisher:
 
     def gate_positions(self, seq: np.ndarray) -> Optional[np.ndarray]:
         """One-shot dense gate pass (the streaming variant is
-        flag.iter_gate_chunks, used by the pipelined engine).  The fused
-        Pallas prep kernel (ops.flag_kernel.flag_contig_gates_pallas)
-        computes the same gates — equivalence-tested — but its execution
-        stalls intermittently on tunneled backends, so the XLA program is
-        the default; opt in with NTEDIT_TPU_PALLAS=1."""
+        flag.iter_gate_chunks, used by the pipelined engine).
+
+        The fused Pallas prep kernel (ops.flag_kernel.
+        flag_contig_gates_pallas) computes the same hint set —
+        equivalence-tested — and is the default on REAL TPU platforms
+        (platform name 'tpu'), where its single VMEM pass beats the XLA
+        op graph.  On the tunneled 'axon' backend it stalls
+        intermittently and its ASCII upload loses to the packed-code XLA
+        path, and on CPU the interpreter is test-only — both default to
+        the XLA program.  NTEDIT_TPU_PALLAS=1/0 forces either way."""
         if not self.use_device:
             return None
         import os
 
+        want = os.environ.get("NTEDIT_TPU_PALLAS")
+        if want is None:
+            try:
+                import jax
+
+                want = "1" if jax.devices()[0].platform == "tpu" else "0"
+            except Exception:
+                want = "0"
         if (
-            os.environ.get("NTEDIT_TPU_PALLAS") == "1"
+            want == "1"
             and self.df.blocked
             and self.cfg.min_threshold <= 1
         ):
