@@ -392,9 +392,11 @@ def _build_scale_corpus(scale: int, seed: int):
     draft, _ = simulate.inject_errors(
         truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=seed + 1
     )
-    # blocked-filter probes index WORDS (int32-safe to 2^31 words); size
-    # for FPR ~0.004, capped at 512 MiB
-    nbits = min(bloom.pow2_size_bytes(scale, 3, 0.001) * 8, 1 << 32)
+    # the device BUILDER scatters per-BIT byte indices (int32): cap at
+    # 2^31 bits = 256 MiB.  At 250 Mbp that is ~8.6 bits/k-mer (FPR
+    # ~2.5%) — more gates to repair, identically for both engines (they
+    # probe the same artifact), so the ratio stays honest
+    nbits = min(bloom.pow2_size_bytes(scale, 3, 0.001) * 8, 1 << 31)
     builder = bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10)
     B = bfbuild._DEV_BATCH
     for s in range(0, scale, B):

@@ -144,6 +144,14 @@ class DeviceFilterBuilder:
         import jax
         import jax.numpy as jnp
 
+        if nbits_pow2 > (1 << 31):
+            # the build scatter computes per-BIT byte indices in int32
+            # (word << 5 | offset); probes only index words and go higher
+            raise ValueError(
+                f"DeviceFilterBuilder supports at most 2^31 bits (256 MiB); "
+                f"got {nbits_pow2} — build larger filters host-side or shard "
+                f"the build (parallel.mesh.sharded_bf_build)"
+            )
         self.k = k
         self.hash_num = hash_num
         self.nbits = nbits_pow2
