@@ -145,12 +145,13 @@ class DeviceFilterBuilder:
         import jax.numpy as jnp
 
         if nbits_pow2 > (1 << 31):
-            # the build scatter computes per-BIT byte indices in int32
-            # (word << 5 | offset); probes only index words and go higher
+            # the build holds a byte-per-BIT buffer (uint32-indexed
+            # scatter); 2^31 bits = a 2 GiB transient — the supported
+            # ceiling.  Probes index words and go higher.
             raise ValueError(
-                f"DeviceFilterBuilder supports at most 2^31 bits (256 MiB); "
-                f"got {nbits_pow2} — build larger filters host-side or shard "
-                f"the build (parallel.mesh.sharded_bf_build)"
+                f"DeviceFilterBuilder supports at most 2^31 bits (256 MiB "
+                f"filter); got {nbits_pow2} — build larger filters "
+                f"host-side or shard the build (mesh.sharded_bf_build)"
             )
         self.k = k
         self.hash_num = hash_num
@@ -232,12 +233,14 @@ class DeviceFilterBuilder:
                     ok = valid & (cnt >= cutoff)
                 else:
                     ok = valid
-                # blocked layout: bit index = word<<5 | offset_j
-                widx = (can[1] & np.uint32(nw - 1)).astype(jnp.int32)
+                # blocked layout: bit index = word<<5 | offset_j.
+                # uint32 indices: a 2^31-bit (256 MiB) filter's byte-per-
+                # bit build buffer outruns int32 indexing
+                widx = can[1] & np.uint32(nw - 1)
                 for j in range(self.hash_num):
                     off = u64m.shr(can, wbits + 5 * j)[1] & np.uint32(31)
-                    bidx = (widx << 5) | off.astype(jnp.int32)
-                    bitbytes = bitbytes.at[jnp.where(ok, bidx, 0)].max(
+                    bidx = (widx << np.uint32(5)) | off
+                    bitbytes = bitbytes.at[jnp.where(ok, bidx, np.uint32(0))].max(
                         jnp.where(ok, np.uint8(1), np.uint8(0))
                     )
                 return bitbytes

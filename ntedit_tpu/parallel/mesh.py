@@ -95,7 +95,8 @@ def _bit_indices(seqs, k: int, hash_num: int, nbits_pow2: int):
     def per_row(row):
         fh, rh = nt.window_hashes(row, k)
         hashes = nt.extend(nt.canonical(fh, rh), k, hash_num)
-        return jnp.stack([(h[1] & mask).astype(jnp.int32) for h in hashes], -1)
+        # uint32: a 2^31-bit build buffer outruns int32 indexing
+        return jnp.stack([h[1] & mask for h in hashes], -1)
 
     return jax.vmap(per_row)(seqs)
 
