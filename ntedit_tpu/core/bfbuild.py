@@ -259,11 +259,42 @@ class DeviceFilterBuilder:
         )
 
     def finish(self) -> "bloom.BlockedKmerBloomFilter":
-        jnp = self._jnp
-        b = self.bitbytes.reshape(-1, 32).astype(jnp.uint32)
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        words = np.asarray((b << shifts).sum(axis=1, dtype=jnp.uint32))
+        # Pack byte-per-bit -> uint32 words WITHOUT widening the whole
+        # buffer: `bitbytes.reshape(-1,32).astype(u32) << arange(32)`
+        # holds two 4x-width transients (8 GiB at a 2^30-bit filter, 16
+        # GiB at 2^31) and OOMs the chip once the 1-2 GiB build buffer
+        # and its fragmentation are live.  Narrow 2-D reshapes are no
+        # better: TPU tiled layouts pad a (N, 8) uint8 trailing dim to
+        # the 128-lane width (16x blow-up).  So stay 1-D: 32 strided
+        # slices (bit j of every word), widen each to u32, OR-shift —
+        # XLA fuses the slices into one pass over the buffer and the
+        # only live output is the nbits/8-byte word array.
+        jax, jnp = self._jax, self._jnp
+        nbits = self.nbits
+
+        words_dev = jax.jit(
+            lambda bb: pack_bitbytes_to_words(bb, nbits), donate_argnums=(0,)
+        )(self.bitbytes)
+        self.bitbytes = None  # donated (or freed); builder is finished
+        words = np.asarray(words_dev)
         return bloom.BlockedKmerBloomFilter(words, self.hash_num, self.k)
+
+
+def pack_bitbytes_to_words(bitbytes, nbits: int):
+    """Byte-per-bit uint8 [nbits] -> little-endian uint32 words [nbits/32],
+    traceable under jit.  Stays 1-D throughout: 32 strided slices (bit j
+    of every word) OR-shifted together — a 2-D `(nw, 32)` reshape would
+    be padded to the TPU's 128-lane tile width (4-16x transient blow-up,
+    an OOM at the 1-2 GiB build buffers the scale corpus uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = None
+    for j in range(32):
+        lane = jax.lax.slice(bitbytes, (j,), (nbits - 31 + j,), (32,))
+        lane = lane.astype(jnp.uint32) << np.uint32(j)
+        out = lane if out is None else out | lane
+    return out
 
 
 def _mix_pair(can, i: int, k: int):
