@@ -614,6 +614,15 @@ struct Engine {
   std::vector<SubRecC> subs;
   int64_t dirty_hint = 0;
   const std::string* bases_tab;  // BASES_POLISH or BASES_SNV
+  // Device-precomputed substitution candidates (VERDICT r2 #7): for gate
+  // head g, cand_masks[i] bit c == bf.contains(changelast(draft window at
+  // gates[i] -> base "ACGT"[c])) evaluated on the PRISTINE draft; 0xFF =
+  // no information (exception window), probe live.  Only consulted when
+  // the current window provably equals the draft (see fix_site).
+  const int64_t* cand_gates = nullptr;
+  const uint8_t* cand_masks = nullptr;
+  int64_t n_cand = 0;
+  int64_t max_edit_orig = -1;  // max original coord written in place
 
   inline bool counting() const { return bf.counting(); }
 
@@ -861,7 +870,9 @@ struct Engine {
     if (best.type == 1) {  // substitution
       if (rope.is_span(st.t)) {
         subs.push_back(make_sub_rec(draft_char, best, st.t_seq));
-        rope.contig[rope.orig_at(st.t)] = best.sub_base;
+        int64_t o = rope.orig_at(st.t);
+        rope.contig[o] = best.sub_base;
+        if (o > max_edit_orig) max_edit_orig = o;
       } else {
         rope.nodes[st.t.node].ch = best.sub_base;
       }
@@ -929,8 +940,13 @@ struct Engine {
     if (p.mask) {
       uint8_t low = (draft_char >= 'A' && draft_char <= 'Z') ? draft_char + 32
                                                              : draft_char;
-      if (rope.is_span(st.t)) rope.contig[rope.orig_at(st.t)] = low;
-      else rope.nodes[st.t.node].ch = low;
+      if (rope.is_span(st.t)) {
+        int64_t o = rope.orig_at(st.t);
+        rope.contig[o] = low;
+        if (o > max_edit_orig) max_edit_orig = o;
+      } else {
+        rope.nodes[st.t.node].ch = low;
+      }
       fh = nth::chlast_fwd(fh, draft_char, low);
       rh = nth::chlast_rev(rh, draft_char, low);
       dirty_hint = st.t_seq + 1;
@@ -1004,12 +1020,62 @@ struct Engine {
       best.support = counting() ? check_there_median : check_there;
     }
 
+    // Device pre-verification: when the current window is PROVABLY the
+    // pristine draft window (head and tail inside the SAME span node — a
+    // span node is one contiguous run of original bytes, so same-node
+    // rules out any inserted/deleted cell in between; coordinate-only
+    // checks are defeated by balanced indel pairs that keep the original
+    // span at k-1 while the content differs — and wholly past the last
+    // in-place write), the device-precomputed contains(changelast) mask
+    // for this gate head is exact and replaces the per-alternate
+    // first-level probe.  Any doubt -> cmask stays -1 and the engine
+    // probes live (bit-identical either way).
+    int cmask = -1;
+    if (cand_masks && !p.snv && p.mode != 2 && st.h.idx < rope.length &&
+        st.t.idx < rope.length && st.h.node == st.t.node &&
+        rope.is_span(st.h)) {
+      int64_t oh = rope.orig_at(st.h), ot = rope.orig_at(st.t);
+      if (ot - oh == (int64_t)k - 1 && oh > max_edit_orig) {
+        const int64_t* lo = std::lower_bound(cand_gates, cand_gates + n_cand, oh);
+        if (lo != cand_gates + n_cand && *lo == oh) {
+          uint8_t m = cand_masks[lo - cand_gates];
+          if (m != 0xFF) cmask = m;
+        }
+      }
+    }
+
     const std::string& alts = bases_tab[draft_char];
     for (char alt_ch : alts) {
       uint8_t sub_base = (uint8_t)alt_ch;
       uint64_t sfh = nth::chlast_fwd(fh, draft_char, sub_base);
       uint64_t srh = nth::chlast_rev(rh, draft_char, sub_base);
-      if ((contains(sfh, srh) && solid(sfh, srh)) || p.mode == 2) {
+      bool cont;
+      if (cmask >= 0) {
+        int ci = sub_base == 'A' ? 0 : sub_base == 'C' ? 1
+                 : sub_base == 'G' ? 2 : sub_base == 'T' ? 3 : -1;
+        cont = ci >= 0 ? ((cmask >> ci) & 1) != 0 : contains(sfh, srh);
+#ifdef NTR_CAND_CHECK
+        if (ci >= 0 && cont != contains(sfh, srh)) {
+          char win[300];
+          Cursor cw = st.h;
+          for (int i2 = 0; i2 < k; ++i2) { win[i2] = rope.char_at(cw); rope.advance(cw); }
+          win[k] = 0;
+          uint64_t cfh = nth::fwd_hash((const uint8_t*)win, k);
+          uint64_t crh = nth::rev_hash((const uint8_t*)win, k);
+          fprintf(stderr,
+                  "CAND MISMATCH head_orig=%lld tail_orig=%lld alt=%c "
+                  "mask=%d live=%d max_edit=%lld h_seq=%lld win=%s "
+                  "fh_ok=%d rh_ok=%d\n",
+                  (long long)rope.orig_at(st.h), (long long)rope.orig_at(st.t),
+                  (char)sub_base, (int)cont, (int)contains(sfh, srh),
+                  (long long)max_edit_orig, (long long)st.h_seq, win,
+                  (int)(cfh == fh), (int)(crh == rh));
+        }
+#endif
+      } else {
+        cont = contains(sfh, srh);
+      }
+      if ((cont && solid(sfh, srh)) || p.mode == 2) {
         // temporarily write the substitution (ntedit.cpp:1936-1940)
         uint8_t saved;
         bool on_span = rope.is_span(st.t);
@@ -1183,13 +1249,19 @@ extern "C" {
 // original coordinates).  subs_out: 10 int64 per record (pos, draft, sub,
 // support, ab1, as1, ab2, as2, ab3, as3).  nodes_out: 4 int64 per node —
 // span: (0, s, e, span_sup); ins: (1, char, span_sup, ins_sup).
-int64_t ntr_polish_contig(
+// gate_cand (may be null): uint8 per gate entry — bit c set iff the
+// device evaluated bf.contains(changelast(draft window at gates[i] ->
+// "ACGT"[c])) true on the pristine draft; 0xFF = no information.  A
+// pure first-probe replacement: output is bit-identical with or
+// without it (tests/test_native_repair.py::test_candidate_masks).
+int64_t ntr_polish_contig_cand(
     uint8_t* contig, int64_t L,
     const int64_t* gates, int64_t n_gates,
     const NtrFilter* bf, const NtrFilter* bfrep,
     const NtrParams* params,
     int64_t* subs_out, int64_t subs_cap, int64_t* n_subs,
-    int64_t* nodes_out, int64_t nodes_cap, int64_t* n_nodes) {
+    int64_t* nodes_out, int64_t nodes_cap, int64_t* n_nodes,
+    const uint8_t* gate_cand) {
   if (!contig || !bf || !params || !n_subs || !n_nodes) return -1;
   // the engine trusts these bounds internally (fixed window[256] buffers,
   // NUM_TRIES[max_insertions] indexing) — reject out-of-range params here
@@ -1213,6 +1285,11 @@ int64_t ntr_polish_contig(
   e.bases_tab = params->snv ? eng::BASES_SNV : eng::BASES_POLISH;
   e.L = L;
   e.rope.init(contig, L);
+  if (gate_cand && gates) {
+    e.cand_gates = gates;
+    e.cand_masks = gate_cand;
+    e.n_cand = n_gates;
+  }
   e.polish(gates, gates ? n_gates : 0);
 
   if ((int64_t)e.subs.size() > subs_cap) return -2;
@@ -1235,6 +1312,18 @@ int64_t ntr_polish_contig(
   return 0;
 }
 
-const char* ntr_version(void) { return "ntedit-repair/1"; }
+int64_t ntr_polish_contig(
+    uint8_t* contig, int64_t L,
+    const int64_t* gates, int64_t n_gates,
+    const NtrFilter* bf, const NtrFilter* bfrep,
+    const NtrParams* params,
+    int64_t* subs_out, int64_t subs_cap, int64_t* n_subs,
+    int64_t* nodes_out, int64_t nodes_cap, int64_t* n_nodes) {
+  return ntr_polish_contig_cand(contig, L, gates, n_gates, bf, bfrep, params,
+                                subs_out, subs_cap, n_subs,
+                                nodes_out, nodes_cap, n_nodes, nullptr);
+}
+
+const char* ntr_version(void) { return "ntedit-repair/2"; }
 
 }  // extern "C"

@@ -99,6 +99,10 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.ntr_polish_contig_cand.restype = ctypes.c_int64
+    lib.ntr_polish_contig_cand.argtypes = (
+        lib.ntr_polish_contig.argtypes + [ctypes.c_void_p]  # gate_cand
+    )
     _lib = lib
     return _lib
 
@@ -155,7 +159,7 @@ def _params_of(cfg: EngineConfig) -> _NtrParams:
 
 
 def _run_raw(lib, contig: np.ndarray, pristine: bytes, gates, bf_struct,
-             rep_struct, params, initial_caps=None):
+             rep_struct, params, initial_caps=None, gate_cand=None):
     """One ntr_polish_contig call with capacity retries.
 
     ``contig`` is modified in place (it may be a view into a shared
@@ -170,6 +174,10 @@ def _run_raw(lib, contig: np.ndarray, pristine: bytes, gates, bf_struct,
         n_gates = gates.size
     else:
         gates_ptr, n_gates = None, 0
+    cand_ptr = None
+    if gate_cand is not None and gates is not None and len(gate_cand) == n_gates:
+        gate_cand = np.ascontiguousarray(gate_cand, dtype=np.uint8)
+        cand_ptr = gate_cand.ctypes.data_as(ctypes.c_void_p).value
     subs_cap = max(4096, L // 64)
     nodes_cap = max(4096, L // 64)
     if initial_caps is not None:  # capacity-retry test hook
@@ -183,7 +191,7 @@ def _run_raw(lib, contig: np.ndarray, pristine: bytes, gates, bf_struct,
         nodes_buf = np.empty(nodes_cap * 4, dtype=np.int64)
         n_subs = ctypes.c_int64(0)
         n_nodes = ctypes.c_int64(0)
-        rc = lib.ntr_polish_contig(
+        args = [
             contig.ctypes.data_as(ctypes.c_void_p).value, L,
             gates_ptr, n_gates,
             ctypes.byref(bf_struct),
@@ -193,7 +201,11 @@ def _run_raw(lib, contig: np.ndarray, pristine: bytes, gates, bf_struct,
             ctypes.byref(n_subs),
             nodes_buf.ctypes.data_as(ctypes.c_void_p).value, nodes_cap,
             ctypes.byref(n_nodes),
-        )
+        ]
+        if cand_ptr is not None:
+            rc = lib.ntr_polish_contig_cand(*args, cand_ptr)
+        else:
+            rc = lib.ntr_polish_contig(*args)
         if rc == -2:
             subs_cap *= 4
             continue
@@ -258,6 +270,7 @@ def polish_contig_native(
     seq: bytes | np.ndarray,
     gate_hint: Optional[np.ndarray] = None,
     initial_caps: Optional[tuple] = None,
+    gate_cand: Optional[np.ndarray] = None,
 ) -> Optional[ContigResult]:
     """Run the native engine on one contig.  Returns None when the native
     library or the filter layout is unavailable (caller falls back)."""
@@ -272,7 +285,7 @@ def polish_contig_native(
     seq_bytes = bytes(seq)
     contig = np.frombuffer(seq_bytes, dtype=np.uint8).copy()
     out = _run_raw(lib, contig, seq_bytes, gate_hint, bf_struct, rep_struct,
-                   params, initial_caps)
+                   params, initial_caps, gate_cand=gate_cand)
     if out is None:
         return None
     sb, nb = out
@@ -337,6 +350,7 @@ def polish_contig_segmented(
     gates: np.ndarray,
     threads: int = 4,
     allow_snv: bool = False,
+    gate_cand: Optional[np.ndarray] = None,
 ) -> Optional[ContigResult]:
     """Parallel exact repair: independent gate-run segments in threads.
 
@@ -365,6 +379,8 @@ def polish_contig_segmented(
     seq_bytes = bytes(seq)
     L = len(seq_bytes)
     gates = np.ascontiguousarray(gates, dtype=np.int64)
+    if gate_cand is not None and len(gate_cand) != len(gates):
+        gate_cand = None
     if len(gates) == 0:
         cells = RopeCells(L)
         return ContigResult(header, bytearray(seq_bytes), cells, [])
@@ -374,7 +390,7 @@ def polish_contig_segmented(
     idx_bounds, margin = _bucket_bounds(gates, L, cfg, n_buckets=4 * threads)
     if len(idx_bounds) == 1 or threads <= 1:
         out = _run_raw(lib, contig, seq_bytes, gates, bf_struct, rep_struct,
-                       params)
+                       params, gate_cand=gate_cand)
         if out is None:
             return None
         sb, nb = out
@@ -393,7 +409,8 @@ def polish_contig_segmented(
     for i0, i1 in idx_bounds:
         lo = int(gates[i0])
         hi = int(min(L, gates[i1 - 1] + gap))
-        jobs.append((lo, hi, gates[i0:i1]))
+        seg_cand = gate_cand[i0:i1] if gate_cand is not None else None
+        jobs.append((lo, hi, gates[i0:i1], seg_cand))
     with ThreadPoolExecutor(max_workers=min(threads, len(jobs))) as ex:
         results = list(ex.map(lambda j: runner(*j), jobs))
     return _finish_segments(
@@ -407,11 +424,11 @@ def _seg_runner(lib, contig, seq_bytes, bf_struct, rep_struct, params, margin):
     arrays, "overflow" when activity reaches the right margin, or None on
     engine failure."""
 
-    def run(lo: int, hi: int, seg_gates_abs: np.ndarray):
+    def run(lo: int, hi: int, seg_gates_abs: np.ndarray, seg_cand=None):
         view = contig[lo:hi]
         pristine = seq_bytes[lo:hi]
         out = _run_raw(lib, view, pristine, seg_gates_abs - lo, bf_struct,
-                       rep_struct, params)
+                       rep_struct, params, gate_cand=seg_cand)
         if out is None:
             return None
         sb, nb = out

@@ -108,11 +108,11 @@ def build_bf_words(seqs, k: int, hash_num: int, nbits_pow2: int) -> jnp.ndarray:
     byte-per-bit scatter-max then an on-device pack (XLA has no scatter-or;
     the unpacked buffer is transient).
     """
+    from ntedit_tpu.core.bfbuild import pack_bitbytes_to_words
+
     idx = _bit_indices(seqs, k, hash_num, nbits_pow2).reshape(-1)
     bitbytes = jnp.zeros((nbits_pow2,), jnp.uint8).at[idx].max(np.uint8(1))
-    b = bitbytes.reshape(-1, 32).astype(jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    return (b << shifts).sum(axis=1, dtype=jnp.uint32)
+    return pack_bitbytes_to_words(bitbytes, nbits_pow2)
 
 
 def sharded_bf_build(mesh: Mesh, read_shards: np.ndarray, k: int, hash_num: int,
@@ -213,6 +213,31 @@ def sharded_snv_candidates(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray,
     def step(tile_shard, w):
         df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
         return jax.vmap(lambda t: flag.snv_candidates_chunk(t, df, k))(tile_shard)
+
+    return jax.jit(step)(tiles, words)
+
+
+def sharded_polish_cand_planes(mesh: Mesh, tiles: np.ndarray,
+                               words: jnp.ndarray, *, k: int, hash_num: int,
+                               nbits: int):
+    """Sharded polish substitution-candidate pass (VERDICT r2 #7): the
+    per-base changelast presence planes (flag.polish_cand_planes_chunk;
+    ntedit.cpp:1923-1928's first-level probe) over contig tiles sharded
+    across the mesh.  Returns [T, 5, chunk/32] plane words on host —
+    planes 0-3 per-base presence, plane 4 validity.  N chips divide the
+    one extra dense pass; the host repair then probes only surviving
+    (site, base) pairs."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("d", None), P()), out_specs=P("d", None, None),
+        check_vma=False,
+    )
+    def step(tile_shard, w):
+        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
+        return jax.vmap(
+            lambda t: flag.polish_cand_planes_chunk(t, df, k)
+        )(tile_shard)
 
     return jax.jit(step)(tiles, words)
 
@@ -325,8 +350,24 @@ def sharded_polish(
     gates = np.nonzero(np.asarray(gate).reshape(-1)[:n_heads])[0].astype(np.int64)
     res = None
     if not cfg.snv:
+        cand = None
+        if (
+            len(gates)
+            and not hasattr(host_bf, "counters")
+            and cfg.mode != 2
+        ):
+            # device pre-verification of substitution candidates: the
+            # sharded changelast pass rides the same tiles; host trials
+            # then touch only surviving (site, base) pairs
+            pw = np.asarray(sharded_polish_cand_planes(
+                mesh, tiles, words, k=k, hash_num=cfg.hash_num,
+                nbits=host_bf.bits,
+            ))
+            planes = pw.transpose(1, 0, 2).reshape(5, -1)
+            cand = flag.cand_masks_from_planes(planes, gates)
         res = native_repair.polish_contig_segmented(
-            host_bf, None, cfg, header, bytes(draft), gates, threads=threads
+            host_bf, None, cfg, header, bytes(draft), gates, threads=threads,
+            gate_cand=cand,
         )
     if res is None:  # native lib unavailable or SNV: exact sequential path
         res = Oracle(host_bf, None, cfg).polish_contig(
