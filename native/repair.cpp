@@ -1031,7 +1031,11 @@ struct Engine {
     // first-level probe.  Any doubt -> cmask stays -1 and the engine
     // probes live (bit-identical either way).
     int cmask = -1;
-    if (cand_masks && !p.snv && p.mode != 2 && st.h.idx < rope.length &&
+    // !counting(): masks encode plain contains; a CBF gate also needs
+    // count >= min_threshold semantics (engine-side defense in depth —
+    // Python callers already refuse to pass gate_cand for CBFs)
+    if (cand_masks && !p.snv && p.mode != 2 && !counting() &&
+        st.h.idx < rope.length &&
         st.t.idx < rope.length && st.h.node == st.t.node &&
         rope.is_span(st.h)) {
       int64_t oh = rope.orig_at(st.h), ot = rope.orig_at(st.t);

@@ -129,39 +129,87 @@ def _device_backend_ok() -> bool:
         return False
 
 
+_SENT = np.uint32(0xFFFFFFFF)  # sorts after every real word index
+
+
+def scatter_or_words(words, widx, mask):
+    """Exact deterministic bitwise-OR scatter: ``words[widx[i]] |= mask[i]``
+    for every entry, under jit, with only O(batch) transients.
+
+    XLA has no scatter-OR combiner, and scatter-add corrupts on duplicate
+    bits.  TPU-native construction instead: sort the (word index, probe
+    mask) pairs by index, OR-combine equal-index runs with a segmented
+    associative scan, then gather the old words at each run's LAST entry
+    and scatter-ADD only the bits still missing (``m & ~old``) — adds of
+    disjoint powers of two at unique indices are carry-free, so the add IS
+    the OR.  Entries with ``widx == 0xFFFFFFFF`` are dropped (invalid /
+    below-cutoff windows).  This replaces the byte-per-bit + pack build
+    (which held an nbits-byte transient and capped filters at 2^31 bits):
+    the only resident array is the packed word array itself, so filters
+    scale to HBM capacity (2^36 bits = 8 GiB at int32 gather indices).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    w_s, m_s = jax.lax.sort((widx, mask), num_keys=1)
+
+    def comb(a, b):
+        wa, ma = a
+        wb, mb = b
+        return wb, mb | jnp.where(wa == wb, ma, np.uint32(0))
+
+    _, m_acc = jax.lax.associative_scan(comb, (w_s, m_s))
+    last = jnp.concatenate(
+        [w_s[:-1] != w_s[1:], jnp.ones((1,), bool)]
+    )
+    live = last & (w_s != _SENT)
+    gidx = jnp.where(live, w_s, np.uint32(0)).astype(jnp.int32)
+    old = words[gidx]
+    addv = jnp.where(live, m_acc & ~old, np.uint32(0))
+    return words.at[gidx].add(addv)
+
+
 class DeviceFilterBuilder:
     """Streaming on-device k-mer counting + threshold insertion.
 
     Replaces the ntStat filter stage's hot loop (SURVEY.md §2.2): each
     separator-joined record batch is uploaded once; canonical hashing,
     validity masking, count-min updates, and threshold-gated insertion all
-    run on the TPU.  Only the finished filter array is downloaded.  The
-    blocked layout (bloom.BlockedKmerBloomFilter) keeps insertion to one
-    scatter per bit.
+    run on the TPU.  Only the finished filter array is downloaded.
+
+    Insertion goes straight into the packed uint32 word array via
+    ``scatter_or_words`` — no byte-per-bit transient — so human-scale
+    filters (2^35 bits = 4 GiB, SURVEY §5.8) build on one chip; the
+    ceiling is 2^36 bits (8 GiB, int32 gather indices).
+
+    ``layout``: 'blocked' (framework-native BlockedKmerBloomFilter; one
+    word + hash_num 5-bit offsets per k-mer) or 'plain' (btllib bit
+    layout, hash_num independent bit positions — the artifact the
+    unmodified reference engine consumes).
     """
 
-    def __init__(self, k: int, hash_num: int, nbits_pow2: int, cbf_slots_pow2: int):
+    def __init__(self, k: int, hash_num: int, nbits_pow2: int,
+                 cbf_slots_pow2: int, layout: str = "blocked"):
         import jax
         import jax.numpy as jnp
 
-        if nbits_pow2 > (1 << 31):
-            # the build holds a byte-per-BIT buffer (uint32-indexed
-            # scatter); 2^31 bits = a 2 GiB transient — the supported
-            # ceiling.  Probes index words and go higher.
+        if nbits_pow2 > (1 << 36):
             raise ValueError(
-                f"DeviceFilterBuilder supports at most 2^31 bits (256 MiB "
-                f"filter); got {nbits_pow2} — build larger filters "
-                f"host-side or shard the build (mesh.sharded_bf_build)"
+                f"DeviceFilterBuilder supports at most 2^36 bits (8 GiB "
+                f"filter, int32 word-gather ceiling); got {nbits_pow2} — "
+                f"shard larger builds (mesh.sharded_bf_build)"
             )
+        if layout not in ("blocked", "plain"):
+            raise ValueError(f"unknown layout {layout!r}")
         self.k = k
         self.hash_num = hash_num
         self.nbits = nbits_pow2
         self.slots = cbf_slots_pow2
+        self.layout = layout
         self._jnp = jnp
         self._jax = jax
         self.counters = jnp.zeros((cbf_slots_pow2,), jnp.int32)
-        # blocked filter held as byte-per-bit during build; packed at the end
-        self.bitbytes = jnp.zeros((nbits_pow2,), jnp.uint8)
+        self.words = jnp.zeros((nbits_pow2 // 32,), jnp.uint32)
         self._count_fns = {}
         self._insert_fns = {}
 
@@ -218,8 +266,9 @@ class DeviceFilterBuilder:
             slots, nbits = self.slots, self.nbits
             nw = nbits // 32
             wbits = nw.bit_length() - 1
+            layout = self.layout
 
-            def step(buf, counters, bitbytes):
+            def step(buf, counters, words):
                 can, valid = self._hashes(buf)
                 from ntedit_tpu.utils import u64 as u64m
 
@@ -233,17 +282,38 @@ class DeviceFilterBuilder:
                     ok = valid & (cnt >= cutoff)
                 else:
                     ok = valid
-                # blocked layout: bit index = word<<5 | offset_j.
-                # uint32 indices: a 2^31-bit (256 MiB) filter's byte-per-
-                # bit build buffer outruns int32 indexing
-                widx = can[1] & np.uint32(nw - 1)
-                for j in range(self.hash_num):
-                    off = u64m.shr(can, wbits + 5 * j)[1] & np.uint32(31)
-                    bidx = (widx << np.uint32(5)) | off
-                    bitbytes = bitbytes.at[jnp.where(ok, bidx, np.uint32(0))].max(
-                        jnp.where(ok, np.uint8(1), np.uint8(0))
-                    )
-                return bitbytes
+                if layout == "blocked":
+                    # one word per k-mer, hash_num 5-bit offsets in its
+                    # high hash bits (BlockedKmerBloomFilter layout)
+                    widx = can[1] & np.uint32(nw - 1)
+                    mask = jnp.zeros_like(can[1])
+                    for j in range(self.hash_num):
+                        off = u64m.shr(can, wbits + 5 * j)[1] & np.uint32(31)
+                        mask = mask | (jnp.uint32(1) << off)
+                    ws = [jnp.where(ok, widx, _SENT)]
+                    ms = [jnp.where(ok, mask, np.uint32(0))]
+                else:
+                    # plain btllib layout: hash_num independent bit
+                    # positions, bit index = extended hash mod nbits
+                    # (pow2 mask; little-endian bit order in uint32 words
+                    # matches the byte layout, bloom._pack_words)
+                    ws, ms = [], []
+                    hi_mask = np.uint32((nbits >> 32) - 1) if nbits > (1 << 32) else np.uint32(0)
+                    for j in range(self.hash_num):
+                        h = can if j == 0 else _mix_pair(can, j, self.k)
+                        if nbits <= (1 << 32):
+                            lo = h[1] & np.uint32(nbits - 1)
+                            widx = lo >> np.uint32(5)
+                        else:
+                            widx = ((h[0] & hi_mask) << np.uint32(27)) | (
+                                h[1] >> np.uint32(5)
+                            )
+                        off = h[1] & np.uint32(31)
+                        ws.append(jnp.where(ok, widx, _SENT))
+                        ms.append(jnp.where(ok, jnp.uint32(1) << off, np.uint32(0)))
+                return scatter_or_words(
+                    words, jnp.concatenate(ws), jnp.concatenate(ms)
+                )
 
             fn = self._insert_fns[key] = jax.jit(step, donate_argnums=(2,))
         return fn
@@ -254,30 +324,31 @@ class DeviceFilterBuilder:
         )
 
     def insert_batch(self, buf_padded: np.ndarray, cutoff: int) -> None:
-        self.bitbytes = self._insert_fn(len(buf_padded), cutoff)(
-            self._jnp.asarray(buf_padded), self.counters, self.bitbytes
+        if self.words is None:
+            raise RuntimeError("builder already finished")
+        self.words = self._insert_fn(len(buf_padded), cutoff)(
+            self._jnp.asarray(buf_padded), self.counters, self.words
         )
 
-    def finish(self) -> "bloom.BlockedKmerBloomFilter":
-        # Pack byte-per-bit -> uint32 words WITHOUT widening the whole
-        # buffer: `bitbytes.reshape(-1,32).astype(u32) << arange(32)`
-        # holds two 4x-width transients (8 GiB at a 2^30-bit filter, 16
-        # GiB at 2^31) and OOMs the chip once the 1-2 GiB build buffer
-        # and its fragmentation are live.  Narrow 2-D reshapes are no
-        # better: TPU tiled layouts pad a (N, 8) uint8 trailing dim to
-        # the 128-lane width (16x blow-up).  So stay 1-D: 32 strided
-        # slices (bit j of every word), widen each to u32, OR-shift —
-        # XLA fuses the slices into one pass over the buffer and the
-        # only live output is the nbits/8-byte word array.
-        jax, jnp = self._jax, self._jnp
-        nbits = self.nbits
+    def device_words(self):
+        """The packed word array, still on device (bench/mesh paths that
+        probe without a host round-trip)."""
+        if self.words is None:
+            raise RuntimeError("builder already finished")
+        return self.words
 
-        words_dev = jax.jit(
-            lambda bb: pack_bitbytes_to_words(bb, nbits), donate_argnums=(0,)
-        )(self.bitbytes)
-        self.bitbytes = None  # donated (or freed); builder is finished
-        words = np.asarray(words_dev)
-        return bloom.BlockedKmerBloomFilter(words, self.hash_num, self.k)
+    def finish(self):
+        """Download the packed words; returns the host filter
+        (BlockedKmerBloomFilter or plain KmerBloomFilter by layout)."""
+        if self.words is None:
+            raise RuntimeError("builder already finished")
+        words = np.asarray(self.words)
+        self.words = None  # device array released; builder is finished
+        if self.layout == "blocked":
+            return bloom.BlockedKmerBloomFilter(words, self.hash_num, self.k)
+        return bloom.KmerBloomFilter(
+            words.view(np.uint8).copy(), self.hash_num, self.k
+        )
 
 
 def pack_bitbytes_to_words(bitbytes, nbits: int):

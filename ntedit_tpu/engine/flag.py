@@ -399,6 +399,10 @@ def polish_candidate_masks(
             packed, np.int32(start // 16), df, k, chunk))
     planes = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     g = np.ascontiguousarray(gates, dtype=np.int64)
+    if len(g) and int(g[-1]) >= (1 << 31):
+        # contigs past 2^31 bases would wrap the int32 gather below and
+        # read masks from wrong plane words — fall back to live probes
+        return None
     # pad to pow2 buckets so the gather program compiles a bounded set
     G = 1 << max(5, int(np.ceil(np.log2(max(1, len(g))))))
     gpad = np.zeros(G, dtype=np.int32)

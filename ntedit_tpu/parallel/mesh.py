@@ -104,15 +104,15 @@ def _bit_indices(seqs, k: int, hash_num: int, nbits_pow2: int):
 def build_bf_words(seqs, k: int, hash_num: int, nbits_pow2: int) -> jnp.ndarray:
     """Device-local BF build: insert every k-mer of every row.
 
-    Returns the packed uint32 word array [nbits/32].  Bit set via a
-    byte-per-bit scatter-max then an on-device pack (XLA has no scatter-or;
-    the unpacked buffer is transient).
-    """
-    from ntedit_tpu.core.bfbuild import pack_bitbytes_to_words
+    Returns the packed uint32 word array [nbits/32], built with the exact
+    sort-based scatter-OR (bfbuild.scatter_or_words) — no byte-per-bit
+    transient, so per-device partial filters scale to HBM capacity."""
+    from ntedit_tpu.core.bfbuild import scatter_or_words
 
-    idx = _bit_indices(seqs, k, hash_num, nbits_pow2).reshape(-1)
-    bitbytes = jnp.zeros((nbits_pow2,), jnp.uint8).at[idx].max(np.uint8(1))
-    return pack_bitbytes_to_words(bitbytes, nbits_pow2)
+    idx = _bit_indices(seqs, k, hash_num, nbits_pow2).reshape(-1).astype(jnp.uint32)
+    words = jnp.zeros((nbits_pow2 // 32,), jnp.uint32)
+    return scatter_or_words(words, idx >> np.uint32(5),
+                            jnp.uint32(1) << (idx & np.uint32(31)))
 
 
 def sharded_bf_build(mesh: Mesh, read_shards: np.ndarray, k: int, hash_num: int,
@@ -306,11 +306,15 @@ def sharded_polish(
     from ntedit_tpu.engine import native_repair
     from ntedit_tpu.engine.oracle import Oracle
 
+    import os
+
     k = cfg.k
     D = mesh.devices.size
     tiles, n_heads = tile_contig(draft, chunk, k, n_tiles_multiple=D)
     if threads is None:
-        threads = max(2, D)
+        # repair threads run on THIS host: size by its cores, not the mesh
+        # (an 8-device mesh on a 2-core host would oversubscribe 4x)
+        threads = max(2, min(os.cpu_count() or 2, D))
     res = None
     if cfg.snv:
         # SNV at scale: the device alternate pre-check is an exact hint
@@ -355,6 +359,8 @@ def sharded_polish(
             len(gates)
             and not hasattr(host_bf, "counters")
             and cfg.mode != 2
+            and native_repair.available()  # the Oracle fallback takes no
+            # masks — don't pay the extra dense pass just to discard it
         ):
             # device pre-verification of substitution candidates: the
             # sharded changelast pass rides the same tiles; host trials

@@ -47,7 +47,14 @@ def inject_errors(
     rng = np.random.default_rng(seed)
     L = len(truth)
     n_err = int(L * (sub_rate + ins_rate + del_rate))
-    pos = np.sort(rng.choice(np.arange(min_gap, L - min_gap), size=n_err, replace=False))
+    if L > 300_000_000:
+        # human-scale fast path: rng.choice without replacement permutes
+        # all L positions (minutes + a 24 GB arange at 3 Gbp); sampled
+        # integers + dedupe give the same isolated-error profile after
+        # the min_gap filter below
+        pos = np.unique(rng.integers(min_gap, L - min_gap, size=n_err))
+    else:
+        pos = np.sort(rng.choice(np.arange(min_gap, L - min_gap), size=n_err, replace=False))
     keep = np.concatenate([[True], np.diff(pos) >= min_gap])
     pos = pos[keep]
     kinds = rng.choice(
