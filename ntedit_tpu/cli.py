@@ -107,6 +107,7 @@ def _run_engine(
     v: int = 0,
     p: int = 1,
     q: int = 255,
+    spill: str = "auto",
 ) -> str:
     from ntedit_tpu.core import bloom
     from ntedit_tpu.engine.config import EngineConfig
@@ -169,6 +170,37 @@ def _run_engine(
         print(f" -p {p}\n -q {q}", flush=True)
 
     pol = Polisher(host_bf, bloomrep, cfg)
+
+    # per-contig record spill: crash-safe resume at contig granularity
+    # (io/spill.py; SURVEY §5.4's intra-stage checkpoint mirror).  auto =
+    # on for big drafts where an interrupted run is expensive to restart
+    sp = None
+    if spill == "on" or (
+        spill == "auto" and os.path.getsize(draft_path) > (256 << 20)
+    ):
+        import dataclasses as _dc
+
+        from ntedit_tpu.io.spill import ContigSpill
+
+        def _fid(path):
+            try:
+                st = os.stat(path)
+                return [path, st.st_size, st.st_mtime]
+            except OSError:
+                return [path, 0, 0]
+
+        sp = ContigSpill(prefix, {
+            "cfg": {f.name: getattr(cfg, f.name) for f in _dc.fields(cfg)},
+            "draft": _fid(draft_path), "bf": _fid(bf_path),
+            "reject": _fid(reject_path) if reject_path else None,
+            "vcf": _fid(vcf_path) if vcf_path else None,
+        })
+
+    import io as _io
+    from collections import deque
+
+    events = deque()  # input-order: ("cached", frags) | ("fresh", idx, hdr, L, crc)
+
     with open(prefix + "_edited.fa", "w") as dfout, \
          open(prefix + "_changes.tsv", "w") as rfout, \
          open(prefix + "_variants.vcf", "w") as vfout:
@@ -181,23 +213,76 @@ def _run_engine(
         from ntedit_tpu.utils.profiling import trace
 
         def contig_stream():
-            for rec in fastx.read_fastx(draft_path):
+            for idx, rec in enumerate(fastx.read_fastx(draft_path)):
                 # contigs shorter than -z are read but not polished/emitted
                 # (ntedit.cpp:2242) — polish() applies the same filter
-                if v and len(rec.seq) >= cfg.min_contig_len:
+                if len(rec.seq) < cfg.min_contig_len:
+                    continue
+                if sp is not None:
+                    crc = sp.crc(rec.seq)
+                    got = sp.get(idx, rec.header, len(rec.seq), crc)
+                    if got is not None:
+                        events.append(("cached", got, len(rec.seq)))
+                        continue
+                    events.append(("fresh", idx, rec.header, len(rec.seq), crc))
+                else:
+                    events.append(("fresh", None, None, len(rec.seq), None))
+                if v:
                     print(rec.header, flush=True)
                 yield rec.header, rec.seq
 
+        def _write_cached(frags):
+            nonlocal total_bases, n_contigs, n_records
+            fa_s, tsv_s, vcf_s = frags
+            dfout.write(fa_s)
+            rfout.write(tsv_s)
+            vfout.write(vcf_s)
+            n_contigs += 1
+            n_records += tsv_s.count("\n")
+
         with trace():  # device trace when NTEDIT_TPU_TRACE is set
             # pol.polish overlaps contigs two-deep with -t > 1 and keeps
-            # input-order output (FIDELITY #6)
-            for res in pol.polish(contig_stream()):
-                writers.write_contig(
-                    res, dfout, rfout, vfout, clinvar, snv=cfg.snv
-                )
+            # input-order output (FIDELITY #6).  Results pair 1:1, in
+            # order, with the "fresh" events (cached contigs never enter
+            # the stream), so the merge below IS input order even though
+            # the pipeline reads a few contigs ahead.
+            res_iter = iter(pol.polish(contig_stream()))
+            while True:
+                if not events:
+                    try:
+                        held = next(res_iter)
+                    except StopIteration:
+                        break
+                else:
+                    held = None
+                while events and events[0][0] == "cached":
+                    ev = events.popleft()
+                    _write_cached(ev[1])
+                    total_bases += ev[2]
+                if not events:
+                    if held is not None:  # cannot happen: a result's fresh
+                        # event is always enqueued before the result exists
+                        raise RuntimeError("spill merge lost a result")
+                    continue  # only cached events were pending
+                ev = events.popleft()  # the fresh event for the next result
+                res = held if held is not None else next(res_iter)
+                if sp is not None:
+                    fa_b, tsv_b, vcf_b = _io.StringIO(), _io.StringIO(), _io.StringIO()
+                    writers.write_contig(res, fa_b, tsv_b, vcf_b, clinvar,
+                                         snv=cfg.snv)
+                    frags = (fa_b.getvalue(), tsv_b.getvalue(), vcf_b.getvalue())
+                    sp.put(ev[1], ev[2], ev[3], ev[4], *frags)
+                    for f, s in zip((dfout, rfout, vfout), frags):
+                        f.write(s)
+                else:
+                    writers.write_contig(
+                        res, dfout, rfout, vfout, clinvar, snv=cfg.snv
+                    )
                 total_bases += len(res.contig)
                 n_contigs += 1
                 n_records += len(res.subs)
+    if sp is not None:
+        sp.finalize()
     dt = max(time.time() - t0, 1e-9)
     # per-stage throughput counter (observability parity: the reference
     # wraps stages in GNU time, ntedit_run_pipeline.smk:78-81)
@@ -333,7 +418,7 @@ def cmd_polish(args) -> None:
             bf_path, draft, prefix, vcf_path=args.l, threads=args.t,
             z=args.z, i=args.i, d=args.d, x=args.x, y=args.y, X=args.X,
             Y=args.Y, j=args.j, m=args.m, a=args.a, v=int(args.v),
-            p=args.p, q=args.q,
+            p=args.p, q=args.q, spill=args.spill,
         )
 
     stages.run(
@@ -385,7 +470,7 @@ def cmd_snv(args) -> None:
         _run_engine(
             bf_path, reference, prefix, vcf_path=args.l, threads=args.t,
             z=args.z, y=args.y, X=args.X, Y=args.Y, j=args.j, s=1,
-            v=int(args.v),
+            v=int(args.v), spill=args.spill,
         )
 
     stages.run(
@@ -407,7 +492,7 @@ def cmd_engine(args) -> None:
         args.r, args.f, args.b, reject_path=args.e_bf, vcf_path=args.l,
         threads=args.t, z=args.z, i=args.i, d=args.d, x=args.x, y=args.y,
         X=args.X, Y=args.Y, j=args.j, m=args.m, s=args.s, a=args.a,
-        v=args.v, p=args.p, q=args.q,
+        v=args.v, p=args.p, q=args.q, spill=getattr(args, "spill", "auto"),
     )
 
 
@@ -440,6 +525,9 @@ def _add_common(sp) -> None:
                     help="keep only solid (non-erroneous) k-mers")
     sp.add_argument("-t", type=int, default=4, help="threads [4]")
     sp.add_argument("-z", type=int, default=100, help="min contig length [100]")
+    sp.add_argument("--spill", choices=("auto", "on", "off"), default="auto",
+                    help="per-contig record spill for crash-safe resume "
+                         "[auto: on for drafts > 256 MB]")
     sp.add_argument("-y", type=float, default=9.0, help="k/y present ratio [9.0]")
     sp.add_argument("-j", type=int, default=3, help="k-mer subset stride [3]")
     sp.add_argument("-X", type=float, default=-1.0,
@@ -527,6 +615,9 @@ def build_parser() -> argparse.ArgumentParser:
     eng.add_argument("-v", type=int, default=0, choices=range(0, 2))
     eng.add_argument("-p", type=int, default=1)
     eng.add_argument("-q", type=int, default=255)
+    eng.add_argument("--spill", choices=("auto", "on", "off"), default="auto",
+                     help="per-contig record spill for crash-safe resume "
+                          "[auto: on for drafts > 256 MB]")
     eng.set_defaults(func=cmd_engine)
 
     mgb = sub.add_parser("make-genome-bf", help="build a Bloom filter from genomes")

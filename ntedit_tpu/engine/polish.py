@@ -112,24 +112,18 @@ class Polisher:
 
         The fused Pallas prep kernel (ops.flag_kernel.
         flag_contig_gates_pallas) computes the same hint set —
-        equivalence-tested — and is the default on REAL TPU platforms
-        (platform name 'tpu'), where its single VMEM pass beats the XLA
-        op graph.  On the tunneled 'axon' backend it stalls
-        intermittently and its ASCII upload loses to the packed-code XLA
-        path, and on CPU the interpreter is test-only — both default to
-        the XLA program.  NTEDIT_TPU_PALLAS=1/0 forces either way."""
+        equivalence-tested on the real chip — and is OPT-IN
+        (NTEDIT_TPU_PALLAS=1): measured on the TPU v5e this session it
+        runs clean but loses to the XLA packed-code program (253-265 ms
+        vs 204-240 ms at 4.7 Mbp; the 4x-smaller 2-bit upload beats the
+        kernel's ASCII ingest on a transfer-bound link, and XLA's fused
+        op graph is already at the HBM-gather bound).  The measured
+        number is captured every round as bench `pallas_gate_ms`."""
         if not self.use_device:
             return None
         import os
 
-        want = os.environ.get("NTEDIT_TPU_PALLAS")
-        if want is None:
-            try:
-                import jax
-
-                want = "1" if jax.devices()[0].platform == "tpu" else "0"
-            except Exception:
-                want = "0"
+        want = os.environ.get("NTEDIT_TPU_PALLAS", "0")
         if (
             want == "1"
             and self.df.blocked
