@@ -11,8 +11,12 @@
 //
 // Scope: polish mode 0 (the default and the benchmarked path), plain BF,
 // substitutions + insertions (<=5) + deletions (<=10), thresholds
-// x=5 / y=9 / j=3.  Insertion low-complexity rollback is approximated by
-// refusing insertion runs >= k (the simulated workload never reaches it).
+// x=5 / y=9 / j=3.  The insertion low-complexity guard is EXACT (the
+// reference's accumulated-run KMP-repeat / cap rollback + re-seed,
+// ntedit.cpp:1312-1380): the flat string tracks the contiguous
+// inserted-char run with sub/deletion bookkeeping, mirroring the rope
+// engines' semantics (fuzzed against the oracle in
+// tests/test_bench_helpers.py).
 //
 // Build: make -C native   Run: ntedit_baseline <draft.fa> <filter.bf>
 
@@ -69,7 +73,13 @@ static inline uint64_t srol(uint64_t x, int d) {
   return (hi << 33) | lo;
 }
 
-static inline uint64_t sror1(uint64_t x) { return srol(x, 1023 - 1); }
+static inline uint64_t sror1(uint64_t x) {
+  uint64_t lo = x & LOW33;
+  uint64_t hi = x >> 33;
+  lo = ((lo >> 1) | (lo << 32)) & LOW33;
+  hi = ((hi >> 1) | (hi << 30)) & 0x7FFFFFFFULL;
+  return (hi << 33) | lo;
+}
 
 static inline uint64_t fwd_hash(const char* s, int k) {
   uint64_t h = 0;
@@ -177,15 +187,38 @@ static const char* POLISH_BASES(unsigned char c) {
   }
 }
 
+// KMP failure-function periodicity test: s is a whole-number repeat of a
+// shorter word (the reference's low-complexity criterion)
+static bool is_repeat(const std::string& s) {
+  int n = (int)s.size();
+  if (n == 0) return false;
+  std::vector<int> lps(n, 0);
+  int ln = 0, i = 1;
+  while (i < n) {
+    if (s[i] == s[ln]) lps[i++] = ++ln;
+    else if (ln != 0) ln = lps[ln - 1];
+    else lps[i++] = 0;
+  }
+  ln = lps[n - 1];
+  return ln > 0 && n % (n - ln) == 0;
+}
+
+static inline char comp_base(char c) {
+  switch (c) { case 'A': return 'T'; case 'T': return 'A';
+               case 'C': return 'G'; case 'G': return 'C'; default: return c; }
+}
+
 struct Engine {
   const Bloom& bf;
   int k, max_i = 5, max_d = 5, jump = 3;
   double x = 5.0, y = 9.0;
-  long n_sub = 0, n_ins = 0, n_del = 0;
+  int insertion_cap;  // k*1.5, the engine-forced value (ntedit.cpp:2450-2451)
+  long n_sub = 0, n_ins = 0, n_del = 0, n_rollback = 0;
   std::vector<std::string> multi[4];  // insertion strings per first base
   int num_tries;
 
   Engine(const Bloom& b) : bf(b), k(b.k) {
+    insertion_cap = (int)(k * 1.5);
     static const int NUM_TRIES[6] = {0, 1, 5, 21, 85, 341};
     num_tries = NUM_TRIES[max_i];
     const char* bases = "ACGT";
@@ -238,6 +271,14 @@ struct Engine {
     uint64_t fh = fwd_hash(seq.data() + pos, k);
     uint64_t rh = rev_hash(seq.data() + pos, k);
     long bad_until = -1;  // suppress checks while a non-accepted base is inside
+
+    // contiguous inserted-char run bookkeeping for the low-complexity
+    // guard: `run` holds the inserted chars in string order, occupying
+    // [run_end - run.size(), run_end) of the current string — the flat
+    // mirror of the rope engines' ins-cell walk (repair.cpp
+    // prev_insertion)
+    std::string run;
+    size_t run_end = (size_t)-1;
 
     const double missing_needed = k / x;
     const double present_needed = k / y;
@@ -362,17 +403,96 @@ struct Engine {
           // apply (mode 0: first qualifying indel, best substitution)
           if (best_type == 1) {
             seq[t] = best_sub;
+            if (run_end != (size_t)-1 && t < run_end &&
+                t >= run_end - run.size())
+              run[t - (run_end - run.size())] = (char)best_sub;
             fh = chlast_fwd(fh, draft, best_sub);
             rh = chlast_rev(rh, k, draft, best_sub);
             ++n_sub;
-          } else if (best_type == 2 && best_indel.size() < (size_t)k) {
-            seq.insert(t, best_indel);
-            L = seq.size();
-            fh = chlast_fwd(fh, draft, best_indel[0]);
-            rh = chlast_rev(rh, k, draft, best_indel[0]);
-            ++n_ins;
+          } else if (best_type == 2) {
+            // low-complexity guard (ntedit.cpp:1312-1380; exact): the RC
+            // of the accumulated inserted run just before t, grown by the
+            // new insertion, triggers rollback when it reaches k and is a
+            // whole-word repeat (KMP) or hits the k*1.5 cap; rollback
+            // tombstones the WHOLE previous run (the new insertion is not
+            // made) and re-seeds at the next clean k-mer
+            std::string prev;
+            size_t upto = 0;  // run chars strictly before the cursor
+            if (run_end != (size_t)-1) {
+              size_t rs = run_end - run.size();
+              if (t >= rs && t <= run_end) {
+                upto = (t < run_end ? t : run_end) - rs;
+                for (size_t ri = upto; ri > 0; --ri)
+                  prev += comp_base(run[ri - 1]);
+              }
+            }
+            bool rolled_back = false;
+            if (prev.size() + best_indel.size() >= (size_t)k) {
+              bool rb = is_repeat(prev) ||
+                        prev.size() + best_indel.size() >= (size_t)insertion_cap;
+              if (!rb) {
+                std::string grown = prev;
+                for (char c : best_indel) {
+                  grown.insert(grown.begin(), comp_base(c));
+                  if (is_repeat(grown)) { rb = true; break; }
+                }
+              }
+              if (rb) {
+                size_t run_start = t - prev.size();
+                seq.erase(run_start, prev.size());
+                L = seq.size();
+                // inserted cells at/after the cursor survive the rollback
+                // (the rope only erases the run BEFORE the cursor)
+                run.erase(0, upto);
+                run_end = run.empty() ? (size_t)-1 : run_end - upto;
+                ++n_rollback;
+                rolled_back = true;
+                // re-seed at the next accepted k-mer from run_start
+                pos = run_start;
+                bool seeded = false;
+                while (pos + k <= L) {
+                  bool okk = true;
+                  for (int ii = 0; ii < k; ++ii)
+                    if (!ACC[(unsigned char)seq[pos + ii]]) {
+                      pos += ii + 1; okk = false; break;
+                    }
+                  if (okk) { seeded = true; break; }
+                }
+                if (!seeded) return;
+                fh = fwd_hash(seq.data() + pos, k);
+                rh = rev_hash(seq.data() + pos, k);
+                t = pos + k - 1;
+              }
+            }
+            if (!rolled_back) {
+              seq.insert(t, best_indel);
+              L = seq.size();
+              if (run_end != (size_t)-1 && t >= run_end - run.size() &&
+                  t <= run_end) {
+                // splice into / append to the existing contiguous run
+                run.insert(t - (run_end - run.size()), best_indel);
+                run_end += best_indel.size();
+              } else {
+                run = best_indel;
+                run_end = t + best_indel.size();
+              }
+              fh = chlast_fwd(fh, draft, best_indel[0]);
+              rh = chlast_rev(rh, k, draft, best_indel[0]);
+              ++n_ins;
+            }
           } else if (best_type == 3) {
-            seq.erase(t, best_indel.size());
+            size_t d = best_indel.size();
+            if (run_end != (size_t)-1 && t < run_end) {
+              // deletion overlapping the inserted run: drop the erased
+              // part; the remainder stays contiguous after the erase
+              size_t rs = run_end - run.size();
+              size_t a = t - rs;
+              size_t b = (t + d < run_end ? t + d : run_end) - rs;
+              run.erase(a, b - a);
+              run_end = rs + run.size();
+              if (run.empty()) run_end = (size_t)-1;
+            }
+            seq.erase(t, d);
             L = seq.size();
             unsigned char nl = (t < L) ? (unsigned char)seq[t] : 0;
             fh = chlast_fwd(fh, draft, nl);
@@ -434,7 +554,9 @@ int main(int argc, char** argv) {
     for (auto& c : contigs) out << c << '\n';
   }
   printf("{\"bases_per_sec\": %.1f, \"seconds\": %.3f, \"bases\": %zu, "
-         "\"n_sub\": %ld, \"n_ins\": %ld, \"n_del\": %ld}\n",
-         total / dt, dt, total, eng.n_sub, eng.n_ins, eng.n_del);
+         "\"n_sub\": %ld, \"n_ins\": %ld, \"n_del\": %ld, "
+         "\"n_rollback\": %ld}\n",
+         total / dt, dt, total, eng.n_sub, eng.n_ins, eng.n_del,
+         eng.n_rollback);
   return 0;
 }

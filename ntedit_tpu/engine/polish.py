@@ -46,6 +46,7 @@ class Polisher:
         chunk: int = flag.DEFAULT_CHUNK,
         fast_sites: bool = True,
         engine: str = "auto",
+        df: "bloom.DeviceFilter | None" = None,
     ):
         if cfg is None:
             cfg = EngineConfig(k=host_bloom.k, hash_num=host_bloom.hash_num)
@@ -64,7 +65,13 @@ class Polisher:
 
             engine = "pipelined" if native_repair.available() else "wavefront"
         self.engine = engine if use_device else "sequential"
-        self.df = bloom.DeviceFilter.from_host(host_bloom) if use_device else None
+        # a caller that just built the filter ON device passes its df to
+        # skip the host->device re-upload (minutes for a 4 GiB filter on
+        # a tunneled link)
+        if df is not None:
+            self.df = df
+        else:
+            self.df = bloom.DeviceFilter.from_host(host_bloom) if use_device else None
         # the wavefront/sequential fallbacks mutate the shared Oracle;
         # the overlapped polish() stream runs polish_contig concurrently,
         # so those paths serialize on this lock
