@@ -159,15 +159,36 @@ def main():
     warm = pol.gate_positions(draft)
     log(f"# warmup gates: {len(warm)}")
 
-    # --- timed runs: median of 3 (the tunneled device adds multi-hundred-
-    # ms jitter per run; the C++ baseline on the local CPU has none) ---
+    # --- timed runs: median of 5 (VERDICT r3 #6 — the tunneled device
+    # adds multi-hundred-ms jitter per run; medians on BOTH sides keep
+    # the headline within noise round over round) ---
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t1 = time.time()
         res = pol.polish_contig("ecoli_sim", draft)
         times.append(time.time() - t1)
-    dt = sorted(times)[1]
+    dt = sorted(times)[2]
     bases_per_sec = len(draft) / dt
+
+    # Pallas fused prep kernel, captured every round (VERDICT r3 #4):
+    # opt-in in production (PERF.md); measured here so the decision
+    # stays data-backed on this chip
+    pallas_ms = None
+    try:
+        from ntedit_tpu.ops import flag_kernel
+
+        g_pl = flag_kernel.flag_contig_gates_pallas(draft, pol.df)  # compile
+        tp = []
+        for _ in range(3):
+            t1 = time.time()
+            g_pl = flag_kernel.flag_contig_gates_pallas(draft, pol.df)
+            tp.append(time.time() - t1)
+        pallas_ms = sorted(tp)[1] * 1e3
+        g_x = pol.gate_positions(draft)
+        log(f"# pallas prep kernel: {pallas_ms:.0f} ms (gates identical "
+            f"to XLA path: {np.array_equal(g_pl, g_x)})")
+    except Exception as exc:
+        log(f"# pallas timing skipped: {exc}")
 
     # stage costs measured unoverlapped (the pipelined path overlaps them)
     t1 = time.time()
@@ -251,10 +272,10 @@ def main():
             pbf.save(bfp)
             ed = os.path.join(td, "edited.txt")
             runs = []
-            for _ in range(3):
+            for _ in range(5):  # median-of-5 both sides (VERDICT r3 #6)
                 out = subprocess.check_output([binary, fa, bfp, ed]).decode()
                 runs.append(json.loads(out))
-            base_stats = sorted(runs, key=lambda r: r["seconds"])[1]
+            base_stats = sorted(runs, key=lambda r: r["seconds"])[2]
             baseline_live = float(base_stats["bases_per_sec"])
             with open(ed, "rb") as f:
                 base_edited = f.read().rstrip(b"\n")
@@ -329,6 +350,7 @@ def main():
         "three_way_identical": three_way,
         "gate_ms": round(stage_gate * 1e3, 1),
         "repair_ms": round(stage_repair * 1e3, 1),
+        "pallas_gate_ms": round(pallas_ms, 1) if pallas_ms else None,
         "device_unavailable": (not device_ok) or None,
     }))
 
@@ -362,9 +384,10 @@ def orchestrate():
     """Default entry: every device-touching section runs in its own
     subprocess with a hard timeout and one retry, so a tunnel wedge at
     any point costs one section attempt, never the headline line."""
-    rec = _run_section("--ecoli-only", 480.0, 2)
-    scale = _run_section("--scale-only", 780.0, 2)
-    giant = _run_section("--giant-only", 900.0, 2)
+    rec = _run_section("--ecoli-only", 600.0, 2)
+    scale = _run_section("--scale-only", 900.0, 2)
+    giant = _run_section("--giant-only", 1200.0, 2)
+    human = _run_section("--human-only", 2700.0, 1)
     if rec is None:
         rec = {
             "metric": "bases_polished_per_sec_chip_ecoli_k25",
@@ -379,12 +402,28 @@ def orchestrate():
         rec["scale_50mbp_vs_baseline"] = None
     if giant is not None:
         log(json.dumps(giant))
+        rec["scale_250mbp_vs_reference_engine"] = giant.get(
+            "vs_reference_engine")
         rec["scale_250mbp_vs_baseline"] = giant.get("vs_baseline")
+    if human is not None:
+        log(json.dumps(human))
+        rec["scale_3gbp_vs_reference_engine"] = human.get(
+            "vs_reference_engine")
+        rec["scale_3gbp_bp_per_sec"] = human.get("value")
     print(json.dumps(rec))
 
 
-def _build_scale_corpus(scale: int, seed: int):
-    """Simulated draft + device-built blocked filter at `scale` bp."""
+def _build_scale_corpus(scale: int, seed: int, plain_too: bool = False):
+    """Simulated draft + device-built filter(s) at `scale` bp.
+
+    Properly sized (pow2 Broder-Mitzenmacher at fpr 0.001) — the old
+    2^31-bit cap is gone (scatter-OR build, bfbuild.scatter_or_words).
+    With plain_too, a btllib-layout twin for the C++ engines is built in
+    the SAME pass (each truth batch uploaded once, fed to both builders).
+
+    Returns (truth, draft, blocked_host, blocked_df, plain_host|None)."""
+    import jax.numpy as jnp
+
     from ntedit_tpu.core import bfbuild, bloom
     from ntedit_tpu.utils import simulate
 
@@ -392,42 +431,36 @@ def _build_scale_corpus(scale: int, seed: int):
     draft, _ = simulate.inject_errors(
         truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=seed + 1
     )
-    # the device BUILDER scatters per-BIT byte indices (int32): cap at
-    # 2^31 bits = 256 MiB.  At 250 Mbp that is ~8.6 bits/k-mer (FPR
-    # ~2.5%) — more gates to repair, identically for both engines (they
-    # probe the same artifact), so the ratio stays honest
-    nbits = min(bloom.pow2_size_bytes(scale, 3, 0.001) * 8, 1 << 31)
-    builder = bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10)
+    nbits = bloom.pow2_size_bytes(scale, 3, 0.001) * 8
+    bb = bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10)
+    pb = (
+        bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10, layout="plain")
+        if plain_too else None
+    )
     B = bfbuild._DEV_BATCH
     for s in range(0, scale, B):
-        builder.insert_batch(truth[s : min(scale, s + B + K - 1)], 1)
-    return truth, draft, builder.finish(), nbits
+        enc = bb.encode_batch(truth[s : min(scale, s + B + K - 1)])
+        bb.insert_batch(enc, 1)
+        if pb is not None:
+            pb.insert_batch(enc, 1)
+    words_dev = bb.device_words()
+    blocked = bb.finish()
+    df = bloom.DeviceFilter(words_dev, None, nbits, 0, 3, K, False,
+                            blocked=True)
+    plain = pb.finish() if pb is not None else None
+    return truth, draft, blocked, df, plain
 
 
-def _plain_bf_artifacts(truth, scale: int, nbits: int, td: str, draft):
-    """Plain btllib-layout filter + FASTA on disk for the C++ engines,
-    built on device (host insert at this scale costs minutes)."""
-    import jax
-    import jax.numpy as jnp
-
-    from ntedit_tpu.core import bfbuild, bloom
-    from ntedit_tpu.parallel import mesh as pmesh
-
-    B = bfbuild._DEV_BATCH
-    acc = None
-    or_ = jax.jit(jnp.bitwise_or)
-    for s in range(0, scale, B):
-        row = np.zeros(B + K - 1, dtype=np.uint8)
-        chunk = truth[s : min(scale, s + B + K - 1)]
-        row[: len(chunk)] = chunk
-        w = pmesh.build_bf_words(jnp.asarray(row[None]), K, 3, nbits)
-        acc = w if acc is None else or_(acc, w)
-    pbf = bloom.KmerBloomFilter(np.asarray(acc).view(np.uint8).copy(), 3, K)
+def _cpp_artifacts(plain_bf, draft, td: str, header: str = "c"):
+    """FASTA + plain-layout .bf on disk for the C++ engines."""
     fa = os.path.join(td, "d.fa")
     with open(fa, "w") as f:
-        f.write(">c\n" + draft.tobytes().decode() + "\n")
+        if draft.ndim == 1:
+            f.write(f">{header}\n" + draft.tobytes().decode() + "\n")
+        else:
+            raise ValueError("1-D draft expected")
     bfp = os.path.join(td, "t.bf")
-    pbf.save(bfp)
+    plain_bf.save(bfp)
     return fa, bfp
 
 
@@ -445,10 +478,12 @@ def _time_binary(cmd, runs: int):
 def scale_main():
     """--scale-only: the 50 Mbp scale section, isolated in its own
     process.  Both C++ denominators run on the SAME 50 Mbp workload (the
-    128 MiB filter misses cache exactly like ours), timed live:
+    256 MiB filter misses cache exactly like ours), timed live:
     ntedit_baseline (median of 5) and the UNMODIFIED reference engine
-    itself (native/reference_ntedit, median of 3).  Prints one JSON line
-    on stdout; progress on stderr."""
+    itself (native/reference_ntedit, median of 3).  Also times the
+    production sharded path on a 1-device mesh (byte-equality asserted)
+    and the device candidate-mask variant.  Prints one JSON line on
+    stdout; progress on stderr."""
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
 
@@ -460,11 +495,13 @@ def scale_main():
         raise SystemExit(1)
     SCALE = 50_000_000
     t7 = time.time()
-    truth50, draft50, bf50, nbits50 = _build_scale_corpus(SCALE, seed=52)
+    truth50, draft50, bf50, df50, plain50 = _build_scale_corpus(
+        SCALE, seed=52, plain_too=True)
     cfg = EngineConfig(k=K, hash_num=3)
-    pol50 = Polisher(bf50, None, cfg)
+    pol50 = Polisher(bf50, None, cfg, df=df50)
     log(f"# scale setup {time.time()-t7:.1f}s: 50 Mbp draft, "
-        f"BF {nbits50>>23} MiB (device-built)")
+        f"BF {bf50.bits>>23} MiB blocked + plain twin (device-built, "
+        f"one pass)")
     r50 = pol50.polish_contig("chr", draft50)  # warm
     t50 = []
     for _ in range(3):
@@ -473,6 +510,58 @@ def scale_main():
         t50.append(time.time() - t8)
     dt50 = sorted(t50)[1]
 
+    # device candidate-mask pre-verification: time the threaded segment
+    # repair with vs without masks (the masks only matter when repair is
+    # the wall — the pipelined headline overlaps it, so this is the
+    # honest A/B for the default decision; PERF.md)
+    dt_cand = dt_seg0 = None
+    try:
+        from ntedit_tpu.engine import flag as _flag
+        from ntedit_tpu.engine import native_repair as _nr
+
+        hint50 = pol50.gate_positions(draft50)
+        _flag.polish_candidate_masks(draft50, df50, hint50)  # warm
+        t8 = time.time()
+        masks = _flag.polish_candidate_masks(draft50, df50, hint50)
+        r_cand = _nr.polish_contig_segmented(
+            bf50, None, cfg, "chr", bytes(draft50), hint50,
+            threads=cfg.threads, gate_cand=masks)
+        dt_cand = time.time() - t8
+        t9 = time.time()
+        r_seg0 = _nr.polish_contig_segmented(
+            bf50, None, cfg, "chr", bytes(draft50), hint50,
+            threads=cfg.threads)
+        dt_seg0 = time.time() - t9
+        same = (r_cand is not None and r_seg0 is not None
+                and r_cand.edited == r50.edited == r_seg0.edited)
+        log(f"# 50 Mbp segmented repair: {dt_seg0:.2f}s plain vs "
+            f"{dt_cand:.2f}s with device cand-masks (identical: {same})")
+        if not same:
+            dt_cand = dt_seg0 = None
+    except Exception as exc:
+        log(f"# cand-mask A/B skipped: {exc}")
+
+    # production sharded path, 1-device mesh (VERDICT r3 #5): the
+    # multi-chip code path timed on the real chip, byte-equal asserted
+    dt_sh = None
+    try:
+        from ntedit_tpu.parallel import mesh as pmesh
+
+        mesh1 = pmesh.make_mesh(1)
+        r_sh = pmesh.sharded_polish(
+            mesh1, "chr", draft50, bf50, df50.words, cfg, chunk=1 << 21)
+        t8 = time.time()
+        r_sh = pmesh.sharded_polish(
+            mesh1, "chr", draft50, bf50, df50.words, cfg, chunk=1 << 21)
+        dt_sh = time.time() - t8
+        same = r_sh.edited == r50.edited and r_sh.subs == r50.subs
+        log(f"# 50 Mbp sharded_polish D=1: {dt_sh:.2f}s "
+            f"(identical to Polisher: {same})")
+        if not same:
+            dt_sh = None
+    except Exception as exc:
+        log(f"# sharded_polish timing skipped: {exc}")
+
     baseline50 = None
     ref50 = None
     binary = os.path.join(HERE, "native", "ntedit_baseline")
@@ -480,7 +569,7 @@ def scale_main():
     if os.path.exists(binary):
         try:
             with tempfile.TemporaryDirectory() as td:
-                fa, bfp = _plain_bf_artifacts(truth50, SCALE, nbits50, td, draft50)
+                fa, bfp = _cpp_artifacts(plain50, draft50, td)
                 dt_base = _time_binary([binary, fa, bfp], 5)
                 baseline50 = SCALE / dt_base
                 log(f"# 50 Mbp C++ baseline (live, median of 5): "
@@ -508,6 +597,11 @@ def scale_main():
         "edits": len(r50.subs),
         "wall_ms": round(dt50 * 1e3, 1),
     }
+    if dt_sh:
+        rec["sharded_d1_wall_ms"] = round(dt_sh * 1e3, 1)
+    if dt_cand and dt_seg0:
+        rec["repair_cand_ms"] = round(dt_cand * 1e3, 1)
+        rec["repair_plain_ms"] = round(dt_seg0 * 1e3, 1)
     if ref50:
         rec["vs_reference_engine"] = round(SCALE / dt50 / ref50, 2)
     print(json.dumps(rec))
@@ -515,9 +609,12 @@ def scale_main():
 
 def giant_main():
     """--giant-only: a 250 Mbp single-contig polish (human-chromosome
-    class) — device-built 512 MiB filter, one packed upload, streamed
-    chunked dense pass, threaded repair.  The C++ baseline runs once on
-    the same corpus (its wall-clock alone exceeds our whole section)."""
+    class) — properly-sized 1 GiB device-built filter (the old 2^31-bit
+    cap is gone), one packed upload, streamed chunked dense pass,
+    threaded repair.  The UNMODIFIED reference engine runs once on the
+    same corpus as the denominator of record (its single run alone is
+    several minutes; the scalar ntedit_baseline curve lives in the
+    50 Mbp section)."""
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
 
@@ -526,11 +623,12 @@ def giant_main():
         raise SystemExit(1)
     SCALE = 250_000_000
     t0 = time.time()
-    truth, draft, bf, nbits = _build_scale_corpus(SCALE, seed=72)
+    truth, draft, bf, df, plain = _build_scale_corpus(
+        SCALE, seed=72, plain_too=True)
     cfg = EngineConfig(k=K, hash_num=3)
-    pol = Polisher(bf, None, cfg)
+    pol = Polisher(bf, None, cfg, df=df)
     log(f"# giant setup {time.time()-t0:.1f}s: 250 Mbp draft, "
-        f"BF {nbits>>23} MiB (device-built)")
+        f"BF {bf.bits>>23} MiB blocked + plain twin (device-built)")
     import resource
 
     r = pol.polish_contig("chr1", draft)  # warm
@@ -544,27 +642,148 @@ def giant_main():
     log(f"# 250 Mbp polish: {dt:.2f}s ({SCALE/dt:,.0f} bp/s), "
         f"{len(r.subs)} records, peak RSS {rss:.1f} GB")
 
-    baseline = None
-    binary = os.path.join(HERE, "native", "ntedit_baseline")
-    if os.path.exists(binary):
+    ref = None
+    ref_bin = os.path.join(HERE, "native", "reference_ntedit")
+    if os.path.exists(ref_bin):
         try:
             with tempfile.TemporaryDirectory() as td:
-                fa, bfp = _plain_bf_artifacts(truth, SCALE, nbits, td, draft)
-                dt_base = _time_binary([binary, fa, bfp], 1)
-                baseline = SCALE / dt_base
-                log(f"# 250 Mbp C++ baseline (live, 1 run): "
-                    f"{baseline:,.0f} bp/s ({dt_base:.1f}s)")
+                fa, bfp = _cpp_artifacts(plain, draft, td)
+                dt_ref = _time_binary(
+                    [ref_bin, "-f", fa, "-r", bfp, "-b",
+                     os.path.join(td, "ref"), "-t", "4"], 1)
+                ref = SCALE / dt_ref
+                log(f"# 250 Mbp REFERENCE engine (unmodified ntedit.cpp, "
+                    f"live, 1 run, -t 4): {ref:,.0f} bp/s ({dt_ref:.1f}s)")
         except Exception as exc:
-            log(f"# 250 Mbp baseline measurement skipped: {exc}")
-    baseline = baseline or measured_cpp_baseline() or BASELINE_BASES_PER_SEC
-    print(json.dumps({
+            log(f"# 250 Mbp reference measurement skipped: {exc}")
+    rec = {
         "metric": "bases_polished_per_sec_chip_250mbp_k25",
         "value": round(SCALE / dt, 1), "unit": "bases/s",
-        "vs_baseline": round(SCALE / dt / baseline, 2),
         "edits": len(r.subs),
         "wall_ms": round(dt * 1e3, 1),
         "peak_rss_gb": round(rss, 2),
-    }))
+    }
+    if ref:
+        rec["vs_reference_engine"] = round(SCALE / dt / ref, 2)
+        rec["vs_baseline"] = rec["vs_reference_engine"]
+    else:
+        rec["vs_baseline"] = round(
+            SCALE / dt / (measured_cpp_baseline() or BASELINE_BASES_PER_SEC), 2)
+    print(json.dumps(rec))
+
+
+def human_main():
+    """--human-only: the stated north-star workload (BASELINE.md) — a
+    3 Gbp, 24-contig human-scale draft with a 4 GiB (2^35-bit) filter,
+    both BUILT ON THE CHIP (blocked for our engine + the plain btllib
+    layout for the reference, one pass over the truth stream), polished
+    contig-streamed, with the unmodified reference engine timed live on
+    the first 2 contigs (250 Mbp) of the SAME corpus/filter as the
+    per-base denominator (a full 3 Gbp reference run is ~1 h on this
+    2-core host — the 250 Mbp slice is the honest affordable sample; at
+    fixed filter size the scalar engine's per-base rate is scale-free,
+    and -t 4 over 2 contigs saturates both cores exactly like the full
+    run would).  Prints one JSON line on stdout."""
+    import jax.numpy as jnp
+
+    from ntedit_tpu.core import bfbuild, bloom
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+    from ntedit_tpu.utils import simulate
+
+    mini = os.environ.get("NTEDIT_BENCH_MINI") == "1"  # CPU shakeout
+    if not mini and not wait_device(max_wait=480.0):
+        log("# human section skipped: device unavailable")
+        raise SystemExit(1)
+    if mini:
+        N_CONTIGS, CLEN, NBITS = 3, 1 << 20, 1 << 22
+    else:
+        N_CONTIGS, CLEN = 24, 125_000_000
+        NBITS = 1 << 35  # 4 GiB: the SURVEY §5.8 human-read-set sizing
+    TOTAL = N_CONTIGS * CLEN
+    t0 = time.time()
+    bb = bfbuild.DeviceFilterBuilder(K, 3, NBITS, 1 << 10)
+    pb = bfbuild.DeviceFilterBuilder(K, 3, NBITS, 1 << 10, layout="plain")
+    drafts = []
+    B = bfbuild._DEV_BATCH
+    for c in range(N_CONTIGS):
+        truth = simulate.random_genome(CLEN, seed=5000 + c)
+        draft, _ = simulate.inject_errors(
+            truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4,
+            seed=6000 + c,
+        )
+        drafts.append(draft)
+        for s in range(0, CLEN, B):
+            enc = bb.encode_batch(truth[s : min(CLEN, s + B + K - 1)])
+            bb.insert_batch(enc, 1)
+            pb.insert_batch(enc, 1)
+        del truth
+        if c % 6 == 0:
+            log(f"# human build: contig {c + 1}/{N_CONTIGS} "
+                f"({time.time() - t0:.0f}s)")
+    words_dev = bb.device_words()
+    blocked = bb.finish()  # 4 GiB download: host repair probes need it
+    df = bloom.DeviceFilter(words_dev, None, NBITS, 0, 3, K, False,
+                            blocked=True)
+    log(f"# human setup {time.time() - t0:.0f}s: {TOTAL / 1e9:.2f} Gbp "
+        f"over {N_CONTIGS} contigs, filter 2^{NBITS.bit_length() - 1} bits "
+        f"= {NBITS >> 33} GiB (blocked + plain twins, device-built)")
+
+    import resource
+
+    cfg = EngineConfig(k=K, hash_num=3)
+    pol = Polisher(blocked, None, cfg, df=df)
+    _ = pol.polish_contig("warm", drafts[0][: min(CLEN, 4_194_304) + K])  # compile
+    t1 = time.time()
+    edits = 0
+    for c, draft in enumerate(drafts):
+        r = pol.polish_contig(f"chr{c + 1}", draft)
+        edits += len(r.subs)
+        del r
+    dt = time.time() - t1
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    log(f"# 3 Gbp polish: {dt:.1f}s ({TOTAL / dt:,.0f} bp/s), "
+        f"{edits} records, peak RSS {rss:.1f} GB")
+
+    ref = None
+    ref_bp = 2 * CLEN
+    ref_bin = os.path.join(HERE, "native", "reference_ntedit")
+    try:
+        plain = pb.finish()  # second 4 GiB download
+        if os.path.exists(ref_bin):
+            with tempfile.TemporaryDirectory(dir=HERE) as td:
+                fa = os.path.join(td, "d.fa")
+                with open(fa, "w") as f:
+                    for c in range(2):
+                        f.write(f">chr{c + 1}\n"
+                                + drafts[c].tobytes().decode() + "\n")
+                bfp = os.path.join(td, "t.bf")
+                plain.save(bfp)
+                del plain
+                dt_ref = _time_binary(
+                    [ref_bin, "-f", fa, "-r", bfp, "-b",
+                     os.path.join(td, "ref"), "-t", "4"], 1)
+                ref = ref_bp / dt_ref
+                log(f"# REFERENCE engine on 250 Mbp of the corpus (4 GiB "
+                    f"filter, -t 4 over 2 contigs = both cores, 1 run): "
+                    f"{ref:,.0f} bp/s ({dt_ref:.0f}s)")
+    except Exception as exc:
+        log(f"# human reference measurement skipped: {exc}")
+
+    rec = {
+        "metric": "bases_polished_per_sec_chip_3gbp_k25",
+        "value": round(TOTAL / dt, 1), "unit": "bases/s",
+        "edits": edits,
+        "wall_ms": round(dt * 1e3, 1),
+        "peak_rss_gb": round(rss, 2),
+        "filter_bits_log2": NBITS.bit_length() - 1,
+        "contigs": N_CONTIGS,
+    }
+    if ref:
+        rec["vs_reference_engine"] = round(TOTAL / dt / ref, 2)
+        rec["reference_bp_per_sec"] = round(ref, 1)
+        rec["reference_timed_bp"] = ref_bp
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
@@ -572,6 +791,8 @@ if __name__ == "__main__":
         scale_main()
     elif "--giant-only" in sys.argv:
         giant_main()
+    elif "--human-only" in sys.argv:
+        human_main()
     elif "--ecoli-only" in sys.argv:
         main()
     else:

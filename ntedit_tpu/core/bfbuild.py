@@ -132,22 +132,11 @@ def _device_backend_ok() -> bool:
 _SENT = np.uint32(0xFFFFFFFF)  # sorts after every real word index
 
 
-def scatter_or_words(words, widx, mask):
-    """Exact deterministic bitwise-OR scatter: ``words[widx[i]] |= mask[i]``
-    for every entry, under jit, with only O(batch) transients.
+_SORT_SUB = 1 << 21  # entries per in-program sort (compiler-friendly shape;
+# a single 16M+-element sort program OOMs the TPU compiler)
 
-    XLA has no scatter-OR combiner, and scatter-add corrupts on duplicate
-    bits.  TPU-native construction instead: sort the (word index, probe
-    mask) pairs by index, OR-combine equal-index runs with a segmented
-    associative scan, then gather the old words at each run's LAST entry
-    and scatter-ADD only the bits still missing (``m & ~old``) — adds of
-    disjoint powers of two at unique indices are carry-free, so the add IS
-    the OR.  Entries with ``widx == 0xFFFFFFFF`` are dropped (invalid /
-    below-cutoff windows).  This replaces the byte-per-bit + pack build
-    (which held an nbits-byte transient and capped filters at 2^31 bits):
-    the only resident array is the packed word array itself, so filters
-    scale to HBM capacity (2^36 bits = 8 GiB at int32 gather indices).
-    """
+
+def _scatter_or_sub(words, widx, mask):
     import jax
     import jax.numpy as jnp
 
@@ -167,6 +156,45 @@ def scatter_or_words(words, widx, mask):
     old = words[gidx]
     addv = jnp.where(live, m_acc & ~old, np.uint32(0))
     return words.at[gidx].add(addv)
+
+
+def scatter_or_words(words, widx, mask):
+    """Exact deterministic bitwise-OR scatter: ``words[widx[i]] |= mask[i]``
+    for every entry, under jit, with only O(batch) transients.
+
+    XLA has no scatter-OR combiner, and scatter-add corrupts on duplicate
+    bits.  TPU-native construction instead: sort the (word index, probe
+    mask) pairs by index, OR-combine equal-index runs with a segmented
+    associative scan, then gather the old words at each run's LAST entry
+    and scatter-ADD only the bits still missing (``m & ~old``) — adds of
+    disjoint powers of two at unique indices are carry-free, so the add IS
+    the OR.  Entries with ``widx == 0xFFFFFFFF`` are dropped (invalid /
+    below-cutoff windows).  This replaces the byte-per-bit + pack build
+    (which held an nbits-byte transient and capped filters at 2^31 bits):
+    the only resident array is the packed word array itself, so filters
+    scale to HBM capacity (2^36 bits = 8 GiB at int32 gather indices).
+
+    Large batches run as a fori_loop of ``_SORT_SUB``-entry sub-scatters
+    (one compiled sort shape; the word carry makes cross-sub-batch
+    duplicates exact: each sub-batch's gather sees the previous one's
+    writes)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = widx.shape[0]
+    if n <= _SORT_SUB:
+        return _scatter_or_sub(words, widx, mask)
+    pad = (-n) % _SORT_SUB
+    if pad:
+        widx = jnp.concatenate([widx, jnp.full((pad,), _SENT)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), jnp.uint32)])
+    wi = widx.reshape(-1, _SORT_SUB)
+    mi = mask.reshape(-1, _SORT_SUB)
+
+    def body(i, w):
+        return _scatter_or_sub(w, wi[i], mi[i])
+
+    return jax.lax.fori_loop(0, wi.shape[0], body, words)
 
 
 class DeviceFilterBuilder:
@@ -213,34 +241,63 @@ class DeviceFilterBuilder:
         self._count_fns = {}
         self._insert_fns = {}
 
-    # -- jit stage builders (specialized per padded batch length) --
-    def _hashes(self, buf):
-        from ntedit_tpu.core import nthash as nt
-
-        k = self.k
-        fh, rh = nt.window_hashes.__wrapped__(buf, k)
-        from ntedit_tpu.utils import u64 as u64m
-
-        can = u64m.min_(fh, rh)
+    # -- host-side 2-bit encode: the build batch travels packed (4x less
+    # tunnel traffic than ASCII, the binding resource on the upload side)
+    def _encode(self, buf: np.ndarray):
+        """ASCII [L] -> (packed codes u32 [ceil(L/16)], window-validity
+        bitmap u32 [ceil(n/32)], n).  Non-ACGT bytes (separators, N) code
+        as 0 and invalidate every window containing them."""
         from ntedit_tpu.engine import flag as flagm
 
-        n = buf.shape[0] - k + 1
-        acgt = (
-            (buf == ord("A")) | (buf == ord("C")) | (buf == ord("G"))
-            | (buf == ord("T")) | (buf == ord("a")) | (buf == ord("c"))
-            | (buf == ord("g")) | (buf == ord("t"))
-        )
-        valid = flagm._window_all(acgt, k, n)
+        k = self.k
+        L = len(buf)
+        n = L - k + 1
+        codes = flagm._CODE_TAB[np.asarray(buf, np.uint8)]
+        bad = codes == 255
+        if bad.any():
+            codes = np.where(bad, 0, codes).astype(np.uint8)
+            cs = np.concatenate([[0], np.cumsum((~bad).astype(np.int32))])
+            valid = (cs[k:] - cs[:-k]) == k
+        else:
+            valid = np.ones(n, dtype=bool)
+        padc = (-L) % 16
+        if padc:
+            codes = np.concatenate([codes, np.zeros(padc, np.uint8)])
+        x = codes.view("<u4")
+        y = x | (x >> np.uint32(6))
+        z = (y | (y >> np.uint32(12))) & np.uint32(255)
+        packed = z.astype(np.uint8).view("<u4")
+        padv = (-n) % 32
+        vb = np.concatenate([valid, np.zeros(padv, bool)]) if padv else valid
+        vw = np.packbits(vb, bitorder="little").view("<u4")
+        return packed, vw, n
+
+    # -- jit stage builders (specialized per packed batch shape) --
+    def _hashes(self, packed, validw, n: int):
+        import jax.numpy as jnp
+
+        from ntedit_tpu.core import nthash as nt
+        from ntedit_tpu.utils import u64 as u64m
+
+        k = self.k
+        shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :]
+        codes = ((packed[:, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+        seqc = codes.reshape(-1)[: n + k - 1]
+        fh, rh = nt.window_hashes_codes(seqc, k)
+        can = u64m.min_(fh, rh)
+        lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+        valid = (((validw[:, None] >> lanes) & jnp.uint32(1)) == 1).reshape(-1)[:n]
         return can, valid
 
-    def _count_fn(self, L: int):
-        fn = self._count_fns.get(L)
+    def _count_fn(self, shape):
+        fn = self._count_fns.get(shape)
         if fn is None:
             jax, jnp = self._jax, self._jnp
             slots = self.slots
+            n = shape[2]
 
-            def step(buf, counters):
-                can, valid = self._hashes(buf)
+            def step(packed, validw, counters):
+                can, valid = self._hashes(packed, validw, n)
                 idxs = []
                 for j in range(self.hash_num):
                     h = can if j == 0 else _mix_pair(can, j, self.k)
@@ -255,11 +312,11 @@ class DeviceFilterBuilder:
                     )
                 return jnp.minimum(counters + jnp.minimum(upd, 255), 255)
 
-            fn = self._count_fns[L] = jax.jit(step, donate_argnums=(1,))
+            fn = self._count_fns[shape] = jax.jit(step, donate_argnums=(2,))
         return fn
 
-    def _insert_fn(self, L: int, cutoff: int):
-        key = (L, cutoff)
+    def _insert_fn(self, shape, cutoff: int):
+        key = (shape, cutoff)
         fn = self._insert_fns.get(key)
         if fn is None:
             jax, jnp = self._jax, self._jnp
@@ -267,9 +324,10 @@ class DeviceFilterBuilder:
             nw = nbits // 32
             wbits = nw.bit_length() - 1
             layout = self.layout
+            n = shape[2]
 
-            def step(buf, counters, words):
-                can, valid = self._hashes(buf)
+            def step(packed, validw, counters, words):
+                can, valid = self._hashes(packed, validw, n)
                 from ntedit_tpu.utils import u64 as u64m
 
                 if cutoff > 1:
@@ -315,20 +373,40 @@ class DeviceFilterBuilder:
                     words, jnp.concatenate(ws), jnp.concatenate(ms)
                 )
 
-            fn = self._insert_fns[key] = jax.jit(step, donate_argnums=(2,))
+            fn = self._insert_fns[key] = jax.jit(step, donate_argnums=(3,))
         return fn
 
-    def count_batch(self, buf_padded: np.ndarray) -> None:
-        self.counters = self._count_fn(len(buf_padded))(
-            self._jnp.asarray(buf_padded), self.counters
-        )
+    def _upload(self, buf_padded):
+        """Encode + upload one batch; accepts host ASCII or an already-
+        encoded (packed, validw, n) triple (dual-build callers encode
+        once and feed both builders)."""
+        jnp = self._jnp
+        if isinstance(buf_padded, tuple):
+            packed, vw, n = buf_padded
+        else:
+            packed, vw, n = self._encode(np.asarray(buf_padded))
+        pd = packed if hasattr(packed, "devices") else jnp.asarray(packed)
+        vd = vw if hasattr(vw, "devices") else jnp.asarray(vw)
+        return pd, vd, (len(packed), len(vw), n)
 
-    def insert_batch(self, buf_padded: np.ndarray, cutoff: int) -> None:
+    def count_batch(self, buf_padded) -> None:
+        pd, vd, shape = self._upload(buf_padded)
+        self.counters = self._count_fn(shape)(pd, vd, self.counters)
+
+    def insert_batch(self, buf_padded, cutoff: int) -> None:
         if self.words is None:
             raise RuntimeError("builder already finished")
-        self.words = self._insert_fn(len(buf_padded), cutoff)(
-            self._jnp.asarray(buf_padded), self.counters, self.words
+        pd, vd, shape = self._upload(buf_padded)
+        self.words = self._insert_fn(shape, cutoff)(
+            pd, vd, self.counters, self.words
         )
+
+    def encode_batch(self, buf: np.ndarray):
+        """Host-encode + device-put once for feeding multiple builders
+        (same k required)."""
+        packed, vw, n = self._encode(np.asarray(buf))
+        jnp = self._jnp
+        return jnp.asarray(packed), jnp.asarray(vw), n
 
     def device_words(self):
         """The packed word array, still on device (bench/mesh paths that

@@ -171,12 +171,20 @@ def sharded_cbf_build(mesh: Mesh, read_shards: np.ndarray, k: int,
 # Sharded dense flag pass
 # ---------------------------------------------------------------------------
 
+def _row_batch(width: int) -> int:
+    """lax.map batch size for per-tile passes: cap the live per-batch
+    transient (~tens of u32 vectors per base) so wide production tiles
+    (2^20+ bases, bench/large runs) stay inside HBM while narrow test
+    tiles still vectorize across rows."""
+    return max(1, (1 << 22) // max(1, width))
+
+
 def sharded_flag(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray, *, k: int,
                  hash_num: int, nbits: int, snv: bool = False,
                  min_threshold: int = 1):
     """tiles: [T, chunk + k - 1] uint8, T divisible by mesh size; filter
     words replicated.  Returns gate bits [T, chunk] (host)."""
-    df_proto = bloom.DeviceFilter(None, None, nbits, 0, hash_num, k, False)
+    bs = _row_batch(tiles.shape[1])
 
     def per_tile(tile, w):
         df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
@@ -189,7 +197,7 @@ def sharded_flag(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray, *, k: int,
         check_vma=False,
     )
     def step(tile_shard, w):
-        return jax.vmap(lambda t: per_tile(t, w))(tile_shard)
+        return jax.lax.map(lambda t: per_tile(t, w), tile_shard, batch_size=bs)
 
     return jax.jit(step)(tiles, words)
 
@@ -212,7 +220,8 @@ def sharded_snv_candidates(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray,
     )
     def step(tile_shard, w):
         df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
-        return jax.vmap(lambda t: flag.snv_candidates_chunk(t, df, k))(tile_shard)
+        return jax.lax.map(lambda t: flag.snv_candidates_chunk(t, df, k),
+                           tile_shard, batch_size=_row_batch(tiles.shape[1]))
 
     return jax.jit(step)(tiles, words)
 
@@ -235,9 +244,10 @@ def sharded_polish_cand_planes(mesh: Mesh, tiles: np.ndarray,
     )
     def step(tile_shard, w):
         df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
-        return jax.vmap(
-            lambda t: flag.polish_cand_planes_chunk(t, df, k)
-        )(tile_shard)
+        return jax.lax.map(
+            lambda t: flag.polish_cand_planes_chunk(t, df, k),
+            tile_shard, batch_size=_row_batch(tiles.shape[1]),
+        )
 
     return jax.jit(step)(tiles, words)
 
@@ -270,7 +280,7 @@ def sharded_confirm(mesh: Mesh, W: np.ndarray, words: jnp.ndarray, *, k: int,
             miss = (~present[1 : k + 1]) & jnp.asarray(stride)
             return miss.sum(dtype=jnp.int32), gate
 
-        return jax.vmap(per_row)(rows)
+        return jax.lax.map(per_row, rows, batch_size=_row_batch(W.shape[1]))
 
     return jax.jit(step)(W, words)
 

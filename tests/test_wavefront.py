@@ -180,3 +180,21 @@ def test_polisher_wavefront_vs_sequential_engine():
     sq = seq.polish_contig("ctg", np.asarray(wl.draft))
     assert wf.edited == sq.edited
     assert render(wf) == render(sq)
+
+
+def test_snv_candidate_hint_equals_full_scan():
+    """SNV through the wavefront with the device candidate hint (the
+    Polisher fallback path, VERDICT r3 weak #5) == oracle full scan."""
+    from ntedit_tpu.engine import flag
+    from ntedit_tpu.utils import simulate
+
+    wl = simulate.make_workload(length=30_000, k=25, seed=21)
+    cfg = EngineConfig(k=25, hash_num=3, snv=True).validate()
+    o = Oracle(wl.bf, None, cfg)
+    full = o.polish_contig("c", bytes(wl.draft))
+    df = bloom.DeviceFilter.from_host(wl.bf)
+    cand = flag.snv_candidate_positions(wl.draft, df)
+    o2 = Oracle(wl.bf, None, cfg)
+    hinted = wavefront.polish_contig_wavefront(o2, "c", bytes(wl.draft), cand)
+    assert hinted.edited == full.edited
+    assert hinted.subs == full.subs
