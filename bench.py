@@ -384,10 +384,10 @@ def orchestrate():
     """Default entry: every device-touching section runs in its own
     subprocess with a hard timeout and one retry, so a tunnel wedge at
     any point costs one section attempt, never the headline line."""
-    rec = _run_section("--ecoli-only", 600.0, 2)
-    scale = _run_section("--scale-only", 900.0, 2)
-    giant = _run_section("--giant-only", 1200.0, 2)
-    human = _run_section("--human-only", 2700.0, 1)
+    rec = _run_section("--ecoli-only", 700.0, 2)
+    scale = _run_section("--scale-only", 1500.0, 2)
+    giant = _run_section("--giant-only", 1600.0, 2)
+    human = _run_section("--human-only", 3000.0, 1)
     if rec is None:
         rec = {
             "metric": "bases_polished_per_sec_chip_ecoli_k25",
@@ -438,8 +438,19 @@ def _build_scale_corpus(scale: int, seed: int, plain_too: bool = False):
         if plain_too else None
     )
     B = bfbuild._DEV_BATCH
+    t_build = time.time()
     for s in range(0, scale, B):
-        enc = bb.encode_batch(truth[s : min(scale, s + B + K - 1)])
+        if s:
+            log(f"#   build batch {s // B}/{-(-scale // B)} "
+                f"({time.time() - t_build:.0f}s)")
+        # pad the tail batch to the uniform shape: ONE compiled insert
+        # program per layout per section (each first-compile costs
+        # minutes over the tunnel); pad bytes are 0x00 = invalid windows
+        chunk = truth[s : min(scale, s + B + K - 1)]
+        if len(chunk) < B + K - 1:
+            chunk = np.concatenate(
+                [chunk, np.zeros(B + K - 1 - len(chunk), np.uint8)])
+        enc = bb.encode_batch(chunk)
         bb.insert_batch(enc, 1)
         if pb is not None:
             pb.insert_batch(enc, 1)
@@ -449,6 +460,20 @@ def _build_scale_corpus(scale: int, seed: int, plain_too: bool = False):
                             blocked=True)
     plain = pb.finish() if pb is not None else None
     return truth, draft, blocked, df, plain
+
+
+def _download_words(words_dev, piece: int = 1 << 26):
+    """Chunked D2H of a big device word array (one multi-GiB transfer
+    RPC stalls on the tunnel far more often than a sequence of 256 MiB
+    pieces; progress is visible per piece)."""
+    n = words_dev.shape[0]
+    out = np.empty(n, dtype=np.uint32)
+    for s in range(0, n, piece):
+        e = min(n, s + piece)
+        out[s:e] = np.asarray(words_dev[s:e])
+        if n > piece:
+            log(f"#   download {e * 4 >> 20}/{n * 4 >> 20} MiB")
+    return out
 
 
 def _cpp_artifacts(plain_bf, draft, td: str, header: str = "c"):
@@ -487,7 +512,7 @@ def scale_main():
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
 
-    if not wait_device(max_wait=480.0):
+    if not wait_device(max_wait=900.0):
         # the 50 Mbp build/polish is sized for the chip; on the CPU
         # fallback it cannot finish inside the section budget — skip
         # (the orchestrator reports scale_50mbp_vs_baseline: null)
@@ -618,7 +643,7 @@ def giant_main():
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
 
-    if not wait_device(max_wait=480.0):
+    if not wait_device(max_wait=900.0):
         log("# giant section skipped: device unavailable")
         raise SystemExit(1)
     SCALE = 250_000_000
@@ -692,7 +717,7 @@ def human_main():
     from ntedit_tpu.utils import simulate
 
     mini = os.environ.get("NTEDIT_BENCH_MINI") == "1"  # CPU shakeout
-    if not mini and not wait_device(max_wait=480.0):
+    if not mini and not wait_device(max_wait=900.0):
         log("# human section skipped: device unavailable")
         raise SystemExit(1)
     if mini:
@@ -714,7 +739,11 @@ def human_main():
         )
         drafts.append(draft)
         for s in range(0, CLEN, B):
-            enc = bb.encode_batch(truth[s : min(CLEN, s + B + K - 1)])
+            chunk = truth[s : min(CLEN, s + B + K - 1)]
+            if len(chunk) < B + K - 1:  # one compiled shape per layout
+                chunk = np.concatenate(
+                    [chunk, np.zeros(B + K - 1 - len(chunk), np.uint8)])
+            enc = bb.encode_batch(chunk)
             bb.insert_batch(enc, 1)
             pb.insert_batch(enc, 1)
         del truth
@@ -722,7 +751,12 @@ def human_main():
             log(f"# human build: contig {c + 1}/{N_CONTIGS} "
                 f"({time.time() - t0:.0f}s)")
     words_dev = bb.device_words()
-    blocked = bb.finish()  # 4 GiB download: host repair probes need it
+    t_dl = time.time()
+    host_words = _download_words(words_dev)  # host repair probes need it
+    bb.words = None
+    blocked = bloom.BlockedKmerBloomFilter(host_words, 3, K)
+    log(f"# blocked filter download: {time.time() - t_dl:.0f}s "
+        f"({host_words.nbytes >> 30} GiB)")
     df = bloom.DeviceFilter(words_dev, None, NBITS, 0, 3, K, False,
                             blocked=True)
     log(f"# human setup {time.time() - t0:.0f}s: {TOTAL / 1e9:.2f} Gbp "
@@ -749,9 +783,13 @@ def human_main():
     ref_bp = 2 * CLEN
     ref_bin = os.path.join(HERE, "native", "reference_ntedit")
     try:
-        plain = pb.finish()  # second 4 GiB download
+        t_dl = time.time()
+        plain_words = _download_words(pb.device_words())
+        pb.words = None
+        plain = bloom.KmerBloomFilter(plain_words.view(np.uint8), 3, K)
+        log(f"# plain filter download: {time.time() - t_dl:.0f}s")
         if os.path.exists(ref_bin):
-            with tempfile.TemporaryDirectory(dir=HERE) as td:
+            with tempfile.TemporaryDirectory() as td:
                 fa = os.path.join(td, "d.fa")
                 with open(fa, "w") as f:
                     for c in range(2):

@@ -29,7 +29,6 @@ a mask; btllib-sized filters use exact Barrett reduction
 from __future__ import annotations
 
 import dataclasses
-import io
 import math
 import os
 from typing import Optional, Sequence
@@ -308,15 +307,15 @@ def load_any(path: str):
 
 
 def _save(path: str, signature: str, data: np.ndarray, meta: dict) -> None:
-    buf = io.BytesIO()
-    buf.write((signature + "\n").encode())
-    for key, val in meta.items():
-        buf.write(f"{key} = {val}\n".encode())
-    buf.write((HEADER_END + "\n").encode())
-    buf.write(data.tobytes())
+    # streamed (tofile), not BytesIO-buffered: a 4 GiB human-scale filter
+    # must not hold two extra in-memory copies on the way to disk
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(buf.getvalue())
+        f.write((signature + "\n").encode())
+        for key, val in meta.items():
+            f.write(f"{key} = {val}\n".encode())
+        f.write((HEADER_END + "\n").encode())
+        np.ascontiguousarray(data).tofile(f)
     os.replace(tmp, path)
 
 
