@@ -181,15 +181,20 @@ def _row_batch(width: int) -> int:
 
 def sharded_flag(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray, *, k: int,
                  hash_num: int, nbits: int, snv: bool = False,
-                 min_threshold: int = 1):
+                 min_threshold: int = 1, blocked: bool = False):
     """tiles: [T, chunk + k - 1] uint8, T divisible by mesh size; filter
-    words replicated.  Returns gate bits [T, chunk] (host)."""
+    words replicated.  Returns the PACKED gate bitmap uint32 [T, chunk/32]
+    on host (32x less readback than bools; unpack with
+    flag.packed_to_positions on the flattened words)."""
     bs = _row_batch(tiles.shape[1])
 
     def per_tile(tile, w):
-        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
+        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False,
+                                   blocked=blocked)
         gate, _p, _c, _v = flag.flag_chunk(tile, df, k, snv, min_threshold)
-        return gate
+        lanes = jnp.arange(32, dtype=jnp.uint32)
+        b = gate.reshape(-1, 32).astype(jnp.uint32)
+        return (b << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
 
     @partial(
         shard_map, mesh=mesh,
@@ -203,7 +208,8 @@ def sharded_flag(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray, *, k: int,
 
 
 def sharded_snv_candidates(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray,
-                           *, k: int, hash_num: int, nbits: int):
+                           *, k: int, hash_num: int, nbits: int,
+                           blocked: bool = False):
     """Sharded SNV candidate pass: the device alternate pre-check
     (engine.flag.snv_candidates_chunk — changelast rehash of all four
     bases, ntedit.cpp:434-452/1923-1928) over contig tiles sharded across
@@ -219,7 +225,8 @@ def sharded_snv_candidates(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray,
         check_vma=False,
     )
     def step(tile_shard, w):
-        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
+        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False,
+                                   blocked=blocked)
         return jax.lax.map(lambda t: flag.snv_candidates_chunk(t, df, k),
                            tile_shard, batch_size=_row_batch(tiles.shape[1]))
 
@@ -228,7 +235,7 @@ def sharded_snv_candidates(mesh: Mesh, tiles: np.ndarray, words: jnp.ndarray,
 
 def sharded_polish_cand_planes(mesh: Mesh, tiles: np.ndarray,
                                words: jnp.ndarray, *, k: int, hash_num: int,
-                               nbits: int):
+                               nbits: int, blocked: bool = False):
     """Sharded polish substitution-candidate pass (VERDICT r2 #7): the
     per-base changelast presence planes (flag.polish_cand_planes_chunk;
     ntedit.cpp:1923-1928's first-level probe) over contig tiles sharded
@@ -243,7 +250,8 @@ def sharded_polish_cand_planes(mesh: Mesh, tiles: np.ndarray,
         check_vma=False,
     )
     def step(tile_shard, w):
-        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
+        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False,
+                                   blocked=blocked)
         return jax.lax.map(
             lambda t: flag.polish_cand_planes_chunk(t, df, k),
             tile_shard, batch_size=_row_batch(tiles.shape[1]),
@@ -253,7 +261,8 @@ def sharded_polish_cand_planes(mesh: Mesh, tiles: np.ndarray,
 
 
 def sharded_confirm(mesh: Mesh, W: np.ndarray, words: jnp.ndarray, *, k: int,
-                    jump: int, hash_num: int, nbits: int):
+                    jump: int, hash_num: int, nbits: int,
+                    blocked: bool = False):
     """Sharded flagged-site confirmation: the subset-missing scan
     (ntedit.cpp:1820-1873) batched over candidate sites and sharded across
     the mesh — the repair pass's verify compute as a mesh collective-free
@@ -270,7 +279,8 @@ def sharded_confirm(mesh: Mesh, W: np.ndarray, words: jnp.ndarray, *, k: int,
         check_vma=False,
     )
     def step(rows, w):
-        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False)
+        df = bloom.DeviceFilter(w, None, nbits, 0, hash_num, k, False,
+                                   blocked=blocked)
 
         def per_row(row):
             fh, rh = nt.window_hashes(row, k)
@@ -320,6 +330,10 @@ def sharded_polish(
 
     k = cfg.k
     D = mesh.devices.size
+    # the replicated words may be in the framework's blocked layout or
+    # the plain btllib layout — the sharded probes must match the host
+    # filter's layout bit for bit
+    blocked = bool(getattr(host_bf, "blocked_layout", False))
     tiles, n_heads = tile_contig(draft, chunk, k, n_tiles_multiple=D)
     if threads is None:
         # repair threads run on THIS host: size by its cores, not the mesh
@@ -340,7 +354,7 @@ def sharded_polish(
         if eligible:
             cw = sharded_snv_candidates(
                 mesh, tiles, words, k=k, hash_num=cfg.hash_num,
-                nbits=host_bf.bits,
+                nbits=host_bf.bits, blocked=blocked,
             )
             cand_all = flag.packed_to_positions(
                 np.asarray(cw).reshape(-1), n_heads
@@ -359,9 +373,9 @@ def sharded_polish(
             return res
     gate = sharded_flag(
         mesh, tiles, words, k=k, hash_num=cfg.hash_num, nbits=host_bf.bits,
-        snv=cfg.snv, min_threshold=cfg.min_threshold,
+        snv=cfg.snv, min_threshold=cfg.min_threshold, blocked=blocked,
     )
-    gates = np.nonzero(np.asarray(gate).reshape(-1)[:n_heads])[0].astype(np.int64)
+    gates = flag.packed_to_positions(np.asarray(gate).reshape(-1), n_heads)
     res = None
     if not cfg.snv:
         cand = None
@@ -377,7 +391,7 @@ def sharded_polish(
             # then touch only surviving (site, base) pairs
             pw = np.asarray(sharded_polish_cand_planes(
                 mesh, tiles, words, k=k, hash_num=cfg.hash_num,
-                nbits=host_bf.bits,
+                nbits=host_bf.bits, blocked=blocked,
             ))
             planes = pw.transpose(1, 0, 2).reshape(5, -1)
             cand = flag.cand_masks_from_planes(planes, gates)

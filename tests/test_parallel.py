@@ -48,10 +48,12 @@ def test_sharded_flag_equals_single():
     mesh = pmesh.make_mesh(8)
     tiles, n = pmesh.tile_contig(draft, 512, K, n_tiles_multiple=8)
     words = bloom._pack_words(host.data)
-    got = np.asarray(
+    packed = np.asarray(
         pmesh.sharded_flag(mesh, tiles, words, k=K, hash_num=H, nbits=NBITS)
-    ).reshape(-1)[:n]
-    np.testing.assert_array_equal(got, want)
+    ).reshape(-1)
+    got = np.zeros(n, dtype=bool)
+    got[flag.packed_to_positions(packed, n)] = True
+    np.testing.assert_array_equal(got, np.asarray(want, dtype=bool))
 
 
 def test_saturating_add_allreduce():
@@ -178,3 +180,24 @@ def test_distributed_single_process_identity():
     assert dist.process_slice(10) == slice(0, 10)
     recs = [("ctg1", [1, 2]), ("ctg2", [3])]
     assert dist.gather_records(recs) == recs
+
+
+def test_sharded_polish_blocked_filter_equals_single():
+    """Regression (round 4): sharded passes must honor the BLOCKED word
+    layout — they silently probed the plain layout before, gating every
+    head when given a BlockedKmerBloomFilter (the bench's production
+    filter kind)."""
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+
+    wl = simulate.make_workload(length=60_000, k=K, seed=17)
+    bbf = bloom.BlockedKmerBloomFilter.zeros(1 << 17, H, K)
+    bbf.insert_seq(wl.truth)
+    cfg = EngineConfig(k=K, hash_num=H)
+    pol = Polisher(bbf, None, cfg)
+    want = pol.polish_contig("c", wl.draft)
+    mesh = pmesh.make_mesh(8)
+    got = pmesh.sharded_polish(
+        mesh, "c", wl.draft, bbf, pol.df.words, cfg, chunk=2048)
+    assert got.edited == want.edited
+    assert got.subs == want.subs
