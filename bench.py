@@ -11,12 +11,16 @@ stage also excludes ntcard/ntstat).
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}
 plus verification fields.  Stage breakdown, engine-identity checks, the
 residual-error census, and the SNV/CBF mode benches go to stderr.
+Sections: --ecoli-only (4.7 Mbp, identity asserts), --scale-only
+(50 Mbp + sharded D=1 + cand A/B + C++ denominators), --giant-only
+(250 Mbp, 1 GiB filter), --human-only (3 Gbp over 24 contigs, 4 GiB
+on-device-built filter — the BASELINE.md north-star workload).
 
-vs_baseline: the reference C++ engine cannot run here (btllib is not
-installable in this environment); BASELINE_BASES_PER_SEC is the measured
-throughput of our from-spec C++ scalar engine when built (native/, same
-algorithm, -O3), else a documented estimate of ntEdit v2.1.1 at t=4
-(~6 Mbp/s on E. coli-class inputs).
+Denominators are LIVE: our from-spec scalar C++ baseline
+(native/ntedit_baseline) and the UNMODIFIED reference engine compiled
+against the btllib-compat shim (native/reference_ntedit,
+`vs_reference_engine`) — both timed on the same artifacts at the same
+moment as our runs.
 """
 
 import json
