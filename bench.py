@@ -134,7 +134,7 @@ def wait_device(max_wait: float = 240.0, probe_timeout: float = 45.0) -> bool:
 
 
 def main():
-    device_ok = wait_device()
+    device_ok = wait_device(max_wait=600.0)
     from ntedit_tpu.core import bloom
     from ntedit_tpu.engine import native_repair, wavefront
     from ntedit_tpu.engine.config import EngineConfig
