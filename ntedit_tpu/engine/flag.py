@@ -46,10 +46,13 @@ _ACCEPTED_MASK = np.uint32(0)
 for _c in ACCEPTED:
     _ACCEPTED_MASK |= np.uint32(1) << np.uint32(_c - 64)
 
-# 2 Mbp chunks: ~24 dispatches at 50 Mbp (dispatch overhead amortized;
-# measured compute-equal to 2^19/2^22 — the BF gather, not the program
-# size, bounds the pass), while short contigs still pipeline 3+ deep
-DEFAULT_CHUNK = 1 << 21
+# 4 Mbp chunks: ~12 dispatches at 50 Mbp.  Compute is chunk-size-flat
+# (the BF gather, not the program size, bounds the pass — measured equal
+# 2^19..2^23), so fewer dispatches only shave tunnel RPC latency: the
+# round-4 on-chip A/B at 50 Mbp read 1704/1608/1741 ms for 2^21/22/23
+# (byte-identical output).  Short contigs still pipeline 2+ deep via
+# _effective_chunk's pow2 clamp.
+DEFAULT_CHUNK = 1 << 22
 
 # 2-bit base codes for the packed upload path: ACGT/acgt -> 0..3,
 # everything else (IUPAC, N, junk) -> 255 = "exception", handled host-side
