@@ -17,15 +17,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Build the native libraries up front so their tests run instead of
+# Build the native artifacts up front so their tests run instead of
 # skipping (libntpu_io.so for the fastx reader, libntedit_repair.so for
-# the repair engine).  A failed build leaves the skips in place.
+# the repair engine, ntedit_baseline for the scalar C++ baseline, and
+# reference_ntedit — the unmodified reference engine compiled against the
+# btllib shim, needs /root/reference present).  Binaries are NOT version-
+# controlled (only sources are); a failed build leaves the skips in place.
 _native = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 if os.path.isdir(_native):
-    try:
-        subprocess.run(
-            ["make", "-C", _native, "libntpu_io.so", "libntedit_repair.so"],
-            check=False, capture_output=True, timeout=180,
-        )
-    except Exception:
-        pass
+    for _tgt, _timeout in (
+        ("libntpu_io.so", 180), ("libntedit_repair.so", 180),
+        ("ntedit_baseline", 120), ("reference_ntedit", 180),
+    ):
+        try:
+            subprocess.run(
+                ["make", "-C", _native, _tgt],
+                check=False, capture_output=True, timeout=_timeout,
+            )
+        except Exception:
+            pass

@@ -81,6 +81,25 @@ def _expand_reads_prefix(prefix: str) -> list[str]:
     return hits
 
 
+def _estimated_draft_bytes(path: str) -> int:
+    """Uncompressed draft size estimate for the spill='auto' threshold.
+    A multi-Gbp .fa.gz compresses well under the raw threshold, which is
+    exactly the expensive-restart case spill targets: for .gz read the
+    gzip trailer ISIZE (uncompressed size mod 2^32); when it wrapped
+    (reads smaller than the compressed stream) fall back to 4x the
+    compressed size (typical FASTA gzip ratio)."""
+    size = os.path.getsize(path)
+    if not path.endswith(".gz"):
+        return size
+    try:
+        with open(path, "rb") as f:
+            f.seek(-4, os.SEEK_END)
+            isize = int.from_bytes(f.read(4), "little")
+    except OSError:
+        isize = 0
+    return isize if isize >= size else size * 4
+
+
 # ---------------------------------------------------------------------------
 # engine invocation (shared by all paths)
 # ---------------------------------------------------------------------------
@@ -176,7 +195,7 @@ def _run_engine(
     # on for big drafts where an interrupted run is expensive to restart
     sp = None
     if spill == "on" or (
-        spill == "auto" and os.path.getsize(draft_path) > (256 << 20)
+        spill == "auto" and _estimated_draft_bytes(draft_path) > (256 << 20)
     ):
         import dataclasses as _dc
 
@@ -527,7 +546,8 @@ def _add_common(sp) -> None:
     sp.add_argument("-z", type=int, default=100, help="min contig length [100]")
     sp.add_argument("--spill", choices=("auto", "on", "off"), default="auto",
                     help="per-contig record spill for crash-safe resume "
-                         "[auto: on for drafts > 256 MB]")
+                         "[auto: on for drafts > 256 MB uncompressed; "
+                         ".gz estimated via the gzip trailer]")
     sp.add_argument("-y", type=float, default=9.0, help="k/y present ratio [9.0]")
     sp.add_argument("-j", type=int, default=3, help="k-mer subset stride [3]")
     sp.add_argument("-X", type=float, default=-1.0,
@@ -617,7 +637,8 @@ def build_parser() -> argparse.ArgumentParser:
     eng.add_argument("-q", type=int, default=255)
     eng.add_argument("--spill", choices=("auto", "on", "off"), default="auto",
                      help="per-contig record spill for crash-safe resume "
-                          "[auto: on for drafts > 256 MB]")
+                          "[auto: on for drafts > 256 MB uncompressed; "
+                          ".gz estimated via the gzip trailer]")
     eng.set_defaults(func=cmd_engine)
 
     mgb = sub.add_parser("make-genome-bf", help="build a Bloom filter from genomes")

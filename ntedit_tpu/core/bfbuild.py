@@ -225,7 +225,8 @@ class DeviceFilterBuilder:
             raise ValueError(
                 f"DeviceFilterBuilder supports at most 2^36 bits (8 GiB "
                 f"filter, int32 word-gather ceiling); got {nbits_pow2} — "
-                f"shard larger builds (mesh.sharded_bf_build)"
+                f"build per-range partial filters (split the k-mer stream "
+                f"by hash range) and OR the word arrays on host"
             )
         if layout not in ("blocked", "plain"):
             raise ValueError(f"unknown layout {layout!r}")

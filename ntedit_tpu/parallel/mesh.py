@@ -89,13 +89,16 @@ def _bit_indices(seqs, k: int, hash_num: int, nbits_pow2: int):
     """k-mer bit indices of every window of every row of ``seqs``
     [R, Lr] -> int32 [R, Lr-k+1, hash_num].  Power-of-two filters only
     (framework-native sizing) so the modulo is a mask."""
-    mask = np.uint32(nbits_pow2 - 1) if nbits_pow2 <= (1 << 32) else None
-    assert nbits_pow2 & (nbits_pow2 - 1) == 0 and nbits_pow2 <= (1 << 31)
+    # scatter_or_words consumes uint32 WORD indices, so the per-device
+    # partial build goes to 2^32 bits from the hash's low word alone
+    # (2^37-bit word space would need high-word bits; DeviceFilterBuilder
+    # covers single-device builds to 2^36)
+    assert nbits_pow2 & (nbits_pow2 - 1) == 0 and nbits_pow2 <= (1 << 32)
+    mask = np.uint32(nbits_pow2 - 1)
 
     def per_row(row):
         fh, rh = nt.window_hashes(row, k)
         hashes = nt.extend(nt.canonical(fh, rh), k, hash_num)
-        # uint32: a 2^31-bit build buffer outruns int32 indexing
         return jnp.stack([h[1] & mask for h in hashes], -1)
 
     return jax.vmap(per_row)(seqs)

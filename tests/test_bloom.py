@@ -124,3 +124,76 @@ class TestDeviceParity:
 
         got = np.asarray(f(df, jnp.asarray(seq)))
         np.testing.assert_array_equal(got, bf.contains_seq_kmers(seq))
+
+
+class TestFileFormatTripwire:
+    """FIDELITY #10 defensive pins: btllib is not installable here, so the
+    .bf/.cbf header layout cannot be diffed against a real btllib artifact.
+    These tests (a) pin the writer's exact header bytes — any future drift
+    in the framework's on-disk format fails loudly instead of silently
+    breaking interop with artifacts written by earlier versions — and
+    (b) fuzz the parser over header variants (spacing, key order, unknown
+    keys, quoted values) so the 'tolerant parser' claim stays true."""
+
+    def test_bf_header_bytes_pinned(self, tmp_path):
+        bf = bloom.KmerBloomFilter.zeros(8, 3, 25)
+        bf.data[:] = np.arange(8, dtype=np.uint8)
+        p = str(tmp_path / "t.bf")
+        bf.save(p)
+        raw = open(p, "rb").read()
+        want_header = (
+            b"[BTLKmerBloomFilter_v6]\n"
+            b"bytes = 8\n"
+            b"hash_num = 3\n"
+            b"k = 25\n"
+            b"[HEADER_END]\n"
+        )
+        assert raw == want_header + bytes(range(8)), raw
+
+    def test_cbf_header_bytes_pinned(self, tmp_path):
+        cbf = bloom.KmerCountingBloomFilter8.zeros(4, 3, 21)
+        cbf.counters[:] = [9, 8, 7, 6]
+        p = str(tmp_path / "t.cbf")
+        cbf.save(p)
+        raw = open(p, "rb").read()
+        want_header = (
+            b"[BTLKmerCountingBloomFilter_v6]\n"
+            b"bytes = 4\n"
+            b"hash_num = 3\n"
+            b"k = 21\n"
+            b"counter_bits = 8\n"
+            b"[HEADER_END]\n"
+        )
+        assert raw == want_header + bytes([9, 8, 7, 6]), raw
+
+    def test_parser_tolerates_header_variants(self, tmp_path):
+        payload = bytes(range(8))
+        variants = [
+            # no spaces around '='
+            b"bytes=8\nhash_num=3\nk=25\n",
+            # extra whitespace and blank-ish lines
+            b"  bytes =  8  \nhash_num\t=\t3\nk = 25\n\n",
+            # reordered keys plus unknown keys the parser must skip
+            b"k = 25\nversion = 6\nhash_num = 3\nbloom_type = \"kmer\"\nbytes = 8\n",
+            # quoted values
+            b"bytes = \"8\"\nhash_num = \"3\"\nk = \"25\"\n",
+        ]
+        for i, hdr in enumerate(variants):
+            p = str(tmp_path / f"v{i}.bf")
+            with open(p, "wb") as f:
+                f.write(b"[BTLKmerBloomFilter_v6]\n" + hdr
+                        + b"[HEADER_END]\n" + payload)
+            bf = bloom.load_any(p)
+            assert isinstance(bf, bloom.KmerBloomFilter), i
+            assert bf.hash_num == 3 and bf.k == 25, i
+            np.testing.assert_array_equal(bf.data, np.frombuffer(payload, np.uint8))
+
+    def test_parser_rejects_truncated_array(self, tmp_path):
+        p = str(tmp_path / "short.bf")
+        with open(p, "wb") as f:
+            f.write(b"[BTLKmerBloomFilter_v6]\nbytes = 64\nhash_num = 3\n"
+                    b"k = 25\n[HEADER_END]\n" + bytes(8))
+        import pytest
+
+        with pytest.raises(ValueError, match="truncated"):
+            bloom.KmerBloomFilter.load(p)

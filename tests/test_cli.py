@@ -209,3 +209,29 @@ def test_threads_byte_identical_multi_contig(workdir):
             blob += data + b"\x00"
         outs[t] = blob
     assert outs[1] == outs[4]
+
+
+def test_estimated_draft_bytes_gz(tmp_path):
+    """spill='auto' must see through gzip: a compressed multi-hundred-MB
+    draft is exactly the expensive-restart case (ADVICE r4).  The .gz
+    estimate reads the gzip trailer ISIZE; a wrapped/absent trailer falls
+    back to 4x the compressed size."""
+    import gzip
+
+    from ntedit_tpu.cli import _estimated_draft_bytes
+
+    raw = tmp_path / "d.fa"
+    raw.write_bytes(b">c\n" + b"ACGT" * 1000 + b"\n")
+    assert _estimated_draft_bytes(str(raw)) == raw.stat().st_size
+
+    gz = tmp_path / "d.fa.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(b">c\n" + b"ACGT" * 100000 + b"\n")
+    est = _estimated_draft_bytes(str(gz))
+    assert est == 400004  # exact ISIZE of the uncompressed stream
+
+    # corrupt trailer (ISIZE smaller than the compressed stream): 4x fallback
+    data = gz.read_bytes()
+    bad = tmp_path / "bad.fa.gz"
+    bad.write_bytes(data[:-4] + b"\x01\x00\x00\x00")
+    assert _estimated_draft_bytes(str(bad)) == bad.stat().st_size * 4

@@ -73,6 +73,37 @@ def test_scatter_or_words_exact_under_duplicates():
         assert (got == want).all(), f"trial {trial} mismatch"
 
 
+def test_scatter_or_words_exact_across_sub_batches(monkeypatch):
+    """The multi-sub-batch fori_loop path (n > _SORT_SUB — every production
+    2^24-base batch takes it) must stay exact when duplicate word indices
+    SPAN sub-batch boundaries: each sub-batch's gather must observe the
+    previous sub-batch's writes (the carry the docstring promises).
+    _SORT_SUB is shrunk so the loop path runs at test size."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(bfbuild, "_SORT_SUB", 64)
+    rng = np.random.default_rng(11)
+    nw = 32  # few words + many entries => duplicates certain across subs
+    for trial in range(6):
+        n = int(rng.integers(200, 700))  # 4-11 sub-batches incl. pad tail
+        widx = rng.integers(0, nw, size=n).astype(np.uint32)
+        mask = (np.uint32(1) << rng.integers(0, 32, size=n).astype(np.uint32))
+        drop = rng.random(n) < 0.1
+        widx[drop] = 0xFFFFFFFF
+        mask[drop] = 0
+        start = rng.integers(0, 1 << 32, size=nw, dtype=np.uint64).astype(np.uint32)
+        want = start.copy()
+        for w, m in zip(widx, mask):
+            if w != 0xFFFFFFFF:
+                want[w] |= m
+        got = np.asarray(
+            bfbuild.scatter_or_words(
+                jnp.asarray(start), jnp.asarray(widx), jnp.asarray(mask)
+            )
+        )
+        assert (got == want).all(), f"trial {trial} mismatch"
+
+
 def test_device_build_plain_layout_matches_host(tmp_path, reads, monkeypatch):
     """The 'plain' layout builds the btllib bit layout on device — the
     artifact the unmodified reference engine consumes.  Bit-identical to a
