@@ -1,26 +1,47 @@
 #!/usr/bin/env python3
-"""Benchmark: E. coli-scale polish throughput on one TPU chip.
+"""Benchmark: polish/SNV throughput on one TPU chip vs the UNMODIFIED
+reference engine, with byte-identity asserts.
 
-Workload mirrors the reference demo (SURVEY.md §6): a 4,708,041 bp draft
-(E. coli U00096.3 size) with ~0.001 substitution + ~0.0001 indel error
-rates, k=25, Bloom filter of truth k-mers.  The metric is end-to-end
-engine throughput — dense device flag pass + sparse native repair +
-record generation, excluding BF construction (the reference's `ntedit`
-stage also excludes ntcard/ntstat).
+Structure (round-5 redesign — every lesson from the r04 timeout applied):
 
-Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}
-plus verification fields.  Stage breakdown, engine-identity checks, the
-residual-error census, and the SNV/CBF mode benches go to stderr.
-Sections: --ecoli-only (4.7 Mbp, identity asserts), --scale-only
-(50 Mbp + sharded D=1 + cand A/B + C++ denominators), --giant-only
-(250 Mbp, 1 GiB filter), --human-only (3 Gbp over 24 contigs, 4 GiB
-on-device-built filter — the BASELINE.md north-star workload).
+* **Incremental capture**: the orchestrator prints the MERGED headline
+  record to stdout after EVERY completed section, so a timeout at any
+  point costs only the tail sections, never the capture.  The last JSON
+  line on stdout is always the most complete record.
+* **Persistent corpus cache** (~/.cache/ntedit_tpu/bench): simulated
+  drafts, device-built filters (blocked layout as .npy for us, plain
+  btllib layout as ready-to-use .bf files for the C++ engines), and the
+  FASTA artifacts are built once and reused across sections AND rounds
+  (cold 250 Mbp setup is minutes; warm is seconds + one filter upload).
+* **Acceptance-first ordering**: 250 Mbp (the BASELINE.md >10x regime,
+  full-length live reference denominator) runs immediately after the
+  identity section, BEFORE the 50 Mbp and 3 Gbp sections.
+* **Tunnel health**: each section measures upload MB/s + probe RTT and
+  embeds them in its record, so cross-round numbers are comparable
+  (the tunneled link degrades 4x on bad days; see PERF.md).
+* **Global deadline**: NTEDIT_BENCH_BUDGET seconds (default 2300);
+  sections that do not fit the remaining budget are skipped and listed
+  in the record.  The bench exits 0 with a parseable record regardless.
 
-Denominators are LIVE: our from-spec scalar C++ baseline
-(native/ntedit_baseline) and the UNMODIFIED reference engine compiled
-against the btllib-compat shim (native/reference_ntedit,
-`vs_reference_engine`) — both timed on the same artifacts at the same
-moment as our runs.
+Sections (each runnable standalone, each isolated in a subprocess by the
+orchestrator so a tunnel wedge poisons one attempt, not the run):
+  --ecoli-only  4.7 Mbp identity + throughput; REAL E. coli draft
+                (reference demo sequence) polished and byte-diffed
+                against the unmodified reference binary.
+  --giant-only  250 Mbp, 1 GiB device-built filter, live FULL-LENGTH
+                reference denominator -> vs_reference_engine (headline).
+  --snv-only    250 Mbp SNV mode (the reference's at-scale marquee mode,
+                /root/reference/README.md:48-49) with a live reference
+                -s 1 denominator on a 25 Mbp slice (per-base ratio
+                labeled _extrapolated).
+  --human-only  3 Gbp over 24 contigs, 4 GiB on-device-built filter;
+                reference denominator on the first 250 Mbp (labeled
+                _extrapolated per ADVICE r4).
+  --scale-only  50 Mbp + scalar C++ baseline + sharded D=1 timing.
+
+Denominator contract (VERDICT r4): the engine at
+/root/reference/ntedit.cpp:2276 (compiled unmodified against the btllib
+shim, native/Makefile) run `-t 4` on the SAME artifacts.
 """
 
 import json
@@ -38,10 +59,21 @@ BASELINE_BASES_PER_SEC = 6.0e6  # documented estimate; see module docstring
 ECOLI_LEN = 4_708_041
 K = 25
 HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(
+    os.environ.get("NTEDIT_BENCH_CACHE",
+                   os.path.expanduser("~/.cache/ntedit_tpu")), "bench")
+MINI = os.environ.get("NTEDIT_BENCH_MINI") == "1"  # CPU shakeout shapes
+REAL_ECOLI = "/root/reference/demo/ecoliWithMismatches001Indels0001.fa.gz"
+_CACHE_VERSION = 1
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(rec):
+    """One JSON record line on stdout (the driver parses the LAST one)."""
+    print(json.dumps(rec), flush=True)
 
 
 def measured_cpp_baseline(key: str = "bases_per_sec"):
@@ -53,6 +85,17 @@ def measured_cpp_baseline(key: str = "bases_per_sec"):
         except Exception:
             return None
     return None
+
+
+def ensure_native(targets=("ntedit_baseline", "reference_ntedit",
+                           "libntedit_repair.so", "libntpu_io.so")):
+    """Binaries are no longer version-controlled; build them on demand."""
+    for tgt in targets:
+        try:
+            subprocess.run(["make", "-C", os.path.join(HERE, "native"), tgt],
+                           check=False, capture_output=True, timeout=240)
+        except Exception:
+            pass
 
 
 def residual_census(edited: bytes, truth: bytes, window: int = 30,
@@ -95,12 +138,17 @@ def residual_census(edited: bytes, truth: bytes, window: int = 30,
     return sites
 
 
-def wait_device(max_wait: float = 240.0, probe_timeout: float = 45.0) -> bool:
+def wait_device(max_wait: float = 300.0, probe_timeout: float = 30.0) -> bool:
     """The tunneled device wedges intermittently (PERF.md): even trivial
     transfers hang for minutes, then recover.  Probe with a tiny op in a
     SUBPROCESS (so a hung probe never poisons this process's backend) and
     retry; if the device never responds, fall back to the virtual CPU
     backend so the bench still produces an honest, clearly-flagged line."""
+    if MINI:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return True
     probe_src = (
         "import numpy as np, jax; "
         "x = jax.device_put(np.arange(8)); print(int(x.sum()))"
@@ -130,25 +178,262 @@ def wait_device(max_wait: float = 240.0, probe_timeout: float = 45.0) -> bool:
             return False
         log(f"# device probe {attempt} timed out; retrying "
             f"(tunnel wedge — see PERF.md)")
-        time.sleep(20)
+        time.sleep(12)
 
+
+def tunnel_health():
+    """Measured upload bandwidth + RTT at this moment, embedded in every
+    section record so cross-round numbers are comparable (VERDICT r4
+    weak #2: r03's 21.75 Mbp/s vs r04's 5.66 on the same section was a
+    degraded tunnel, indistinguishable from a code regression)."""
+    try:
+        import jax
+
+        t0 = time.time()
+        x = jax.device_put(np.zeros(8, np.float32))
+        x.block_until_ready()
+        rtt_ms = (time.time() - t0) * 1e3
+        buf = np.zeros(8 << 20, np.uint8)
+        t0 = time.time()
+        y = jax.device_put(buf)
+        y.block_until_ready()
+        up = buf.nbytes / max(1e-9, time.time() - t0) / 1e6
+        del x, y
+        h = {"upload_mb_s": round(up, 1), "probe_rtt_ms": round(rtt_ms, 1)}
+        log(f"# tunnel health: {h}")
+        return h
+    except Exception as exc:
+        log(f"# tunnel health probe failed: {exc}")
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Chunked device transfers (one multi-GiB RPC stalls on the tunnel far more
+# often than a sequence of 256 MiB pieces; progress is visible per piece)
+# ---------------------------------------------------------------------------
+
+def _download_words(words_dev, piece: int = 1 << 26):
+    n = words_dev.shape[0]
+    out = np.empty(n, dtype=np.uint32)
+    for s in range(0, n, piece):
+        e = min(n, s + piece)
+        out[s:e] = np.asarray(words_dev[s:e])
+        if n > piece:
+            log(f"#   download {e * 4 >> 20}/{n * 4 >> 20} MiB")
+    return out
+
+
+def _upload_words(host_words: np.ndarray, piece: int = 1 << 26):
+    """Chunked host->device upload into one preallocated device array
+    (donated dynamic_update_slice: no 2x HBM peak for 4 GiB filters)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = host_words.shape[0]
+    if n <= piece:
+        return jnp.asarray(host_words)
+    put = jax.jit(
+        lambda buf, p, off: jax.lax.dynamic_update_slice(buf, p, (off,)),
+        donate_argnums=(0,),
+    )
+    buf = jnp.zeros(n, dtype=host_words.dtype)
+    pad = np.zeros(piece, dtype=host_words.dtype)
+    for s in range(0, n, piece):
+        e = min(n, s + piece)
+        chunk = host_words[s:e]
+        if e - s < piece:  # one compiled shape
+            pad[: e - s] = chunk
+            pad[e - s :] = 0
+            chunk = pad
+            s = n - piece  # overlap is fine: trailing region rewritten
+        buf = put(buf, jnp.asarray(chunk), np.int64(s))
+        log(f"#   upload {e * host_words.itemsize >> 20}/"
+            f"{n * host_words.itemsize >> 20} MiB")
+    buf.block_until_ready()
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# Persistent corpus + filter cache
+# ---------------------------------------------------------------------------
+
+def _corpus_dir(name: str) -> str:
+    return os.path.join(CACHE, name)
+
+
+def _corpus_ready(name: str, want_meta: dict) -> bool:
+    mp = os.path.join(_corpus_dir(name), "meta.json")
+    if not os.path.exists(mp):
+        return False
+    try:
+        with open(mp) as f:
+            meta = json.load(f)
+    except Exception:
+        return False
+    return all(meta.get(k) == v for k, v in want_meta.items())
+
+
+def build_scale_corpus(name: str, contig_lens, seeds, nbits: int,
+                       plain_too: bool = True, write_fasta_contigs: int = 0):
+    """Simulated draft contigs + device-built filter(s), persisted.
+
+    Per contig: truth = random genome, draft = truth + injected errors at
+    the reference demo's rates (README.md:333).  The filter holds the
+    TRUTH k-mers (infinite-coverage limit of the read filter).  Builds
+    the framework-native blocked layout and (plain_too) the btllib plain
+    layout in the SAME pass over the truth stream; persists:
+      draft_c{i}.npy   uint8 drafts
+      blocked.npy      uint32 blocked filter words
+      t.bf             plain-layout btllib file (C++ engines load as-is)
+      d.fa             FASTA of the first `write_fasta_contigs` contigs
+      meta.json        written LAST = atomic done marker
+    """
+    from ntedit_tpu.core import bfbuild, bloom
+    from ntedit_tpu.utils import simulate
+
+    d = _corpus_dir(name)
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time()
+    bb = bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10)
+    pb = (bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10, layout="plain")
+          if plain_too else None)
+    # MINI (CPU shakeout): the production 16 Mbp insert batch is padded to
+    # full shape, and the CPU sort-based scatter takes minutes per batch
+    B = (1 << 20) if MINI else bfbuild._DEV_BATCH
+    for c, (clen, seed) in enumerate(zip(contig_lens, seeds)):
+        truth = simulate.random_genome(clen, seed=seed)
+        draft, _ = simulate.inject_errors(
+            truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4,
+            seed=seed + 1,
+        )
+        np.save(os.path.join(d, f"draft_c{c}.npy"), draft)
+        for s in range(0, clen, B):
+            # pad the tail batch to the uniform shape: ONE compiled insert
+            # program per layout (each first-compile costs minutes over
+            # the tunnel); pad bytes 0x00 = invalid windows
+            chunk = truth[s : min(clen, s + B + K - 1)]
+            if len(chunk) < B + K - 1:
+                chunk = np.concatenate(
+                    [chunk, np.zeros(B + K - 1 - len(chunk), np.uint8)])
+            enc = bb.encode_batch(chunk)
+            bb.insert_batch(enc, 1)
+            if pb is not None:
+                pb.insert_batch(enc, 1)
+        del truth
+        log(f"# corpus {name}: contig {c + 1}/{len(contig_lens)} built "
+            f"({time.time() - t0:.0f}s)")
+    words_dev = bb.device_words()
+    host_words = _download_words(words_dev)
+    bb.words = None
+    np.save(os.path.join(d, "blocked.npy"), host_words)
+    if pb is not None:
+        plain_words = _download_words(pb.device_words())
+        pb.words = None
+        plain = bloom.KmerBloomFilter(plain_words.view(np.uint8), 3, K)
+        plain.save(os.path.join(d, "t.bf"))
+        del plain, plain_words
+    if write_fasta_contigs:
+        with open(os.path.join(d, "d.fa"), "w") as f:
+            for c in range(min(write_fasta_contigs, len(contig_lens))):
+                draft = np.load(os.path.join(d, f"draft_c{c}.npy"))
+                f.write(f">chr{c + 1}\n" + draft.tobytes().decode() + "\n")
+    meta = {"version": _CACHE_VERSION, "k": K, "nbits": nbits,
+            "contig_lens": list(map(int, contig_lens)),
+            "seeds": list(map(int, seeds)), "plain": bool(plain_too),
+            "fasta_contigs": int(write_fasta_contigs)}
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    log(f"# corpus {name}: built + persisted in {time.time() - t0:.0f}s "
+        f"({d})")
+    return words_dev, host_words
+
+
+def get_corpus(name: str, contig_lens, seeds, nbits: int,
+               plain_too: bool = True, write_fasta_contigs: int = 0):
+    """Load (building if absent) a cached corpus.  Returns a dict with
+    drafts (list of uint8 arrays), blocked host filter, blocked DeviceFilter
+    (device words uploaded or reused from the build), and artifact paths."""
+    from ntedit_tpu.core import bloom
+
+    want = {"version": _CACHE_VERSION, "k": K, "nbits": nbits,
+            "contig_lens": list(map(int, contig_lens)),
+            "seeds": list(map(int, seeds)), "plain": bool(plain_too),
+            "fasta_contigs": int(write_fasta_contigs)}
+    d = _corpus_dir(name)
+    t0 = time.time()
+    if _corpus_ready(name, want):
+        host_words = np.load(os.path.join(d, "blocked.npy"))
+        words_dev = _upload_words(host_words)
+        log(f"# corpus {name}: warm cache load + filter upload "
+            f"{time.time() - t0:.1f}s")
+    else:
+        words_dev, host_words = build_scale_corpus(
+            name, contig_lens, seeds, nbits, plain_too, write_fasta_contigs)
+    drafts = [np.load(os.path.join(d, f"draft_c{c}.npy"))
+              for c in range(len(contig_lens))]
+    blocked = bloom.BlockedKmerBloomFilter(host_words, 3, K)
+    df = bloom.DeviceFilter(words_dev, None, nbits, 0, 3, K, False,
+                            blocked=True)
+    return {
+        "drafts": drafts, "blocked": blocked, "df": df,
+        "fa": os.path.join(d, "d.fa") if write_fasta_contigs else None,
+        "bf": os.path.join(d, "t.bf") if plain_too else None,
+        "dir": d,
+    }
+
+
+def _slice_fasta(corpus_dir: str, out_name: str, n_bases: int) -> str:
+    """FASTA of the first n_bases of contig 0, cached alongside the
+    corpus (reference SNV denominator slice)."""
+    out = os.path.join(corpus_dir, out_name)
+    if not os.path.exists(out):
+        draft = np.load(os.path.join(corpus_dir, "draft_c0.npy"))
+        with open(out, "w") as f:
+            f.write(">chr1\n" + draft[:n_bases].tobytes().decode() + "\n")
+    return out
+
+
+def _time_binary(cmd, runs: int):
+    """Median wall-clock of `runs` executions (live denominator: this
+    host's CPU speed varies run to run)."""
+    times = []
+    for _ in range(runs):
+        t = time.time()
+        subprocess.run(cmd, check=True, capture_output=True)
+        times.append(time.time() - t)
+    return sorted(times)[len(times) // 2]
+
+
+def _ref_bin():
+    p = os.path.join(HERE, "native", "reference_ntedit")
+    if not os.path.exists(p):
+        ensure_native(("reference_ntedit",))
+    return p if os.path.exists(p) else None
+
+
+# ---------------------------------------------------------------------------
+# Section: --ecoli-only  (identity + 4.7 Mbp throughput + REAL E. coli)
+# ---------------------------------------------------------------------------
 
 def main():
-    device_ok = wait_device(max_wait=600.0)
+    device_ok = wait_device(max_wait=420.0)
+    ensure_native()
     from ntedit_tpu.core import bloom
     from ntedit_tpu.engine import native_repair, wavefront
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
     from ntedit_tpu.utils import simulate
 
+    health = tunnel_health()
     t0 = time.time()
-    truth = simulate.random_genome(ECOLI_LEN, seed=42)
+    ecoli_len = 1 << 20 if MINI else ECOLI_LEN
+    truth = simulate.random_genome(ecoli_len, seed=42)
     draft, injected = simulate.inject_errors(
         truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=43
     )
     # framework-native blocked filter: power-of-two sizing, one HBM gather
     # per probe (see bloom.BlockedKmerBloomFilter)
-    nbytes = bloom.pow2_size_bytes(ECOLI_LEN, 3, 0.001)
+    nbytes = bloom.pow2_size_bytes(ecoli_len, 3, 0.001)
     bf = bloom.BlockedKmerBloomFilter.zeros(nbytes, 3, K)
     bf.insert_seq(truth)
     log(f"# setup {time.time() - t0:.1f}s: draft {len(draft)} bp, "
@@ -163,9 +448,9 @@ def main():
     warm = pol.gate_positions(draft)
     log(f"# warmup gates: {len(warm)}")
 
-    # --- timed runs: median of 5 (VERDICT r3 #6 — the tunneled device
-    # adds multi-hundred-ms jitter per run; medians on BOTH sides keep
-    # the headline within noise round over round) ---
+    # --- timed runs: median of 5 (the tunneled device adds multi-
+    # hundred-ms jitter per run; medians on BOTH sides keep the headline
+    # within noise round over round) ---
     times = []
     for _ in range(5):
         t1 = time.time()
@@ -174,25 +459,25 @@ def main():
     dt = sorted(times)[2]
     bases_per_sec = len(draft) / dt
 
-    # Pallas fused prep kernel, captured every round (VERDICT r3 #4):
-    # opt-in in production (PERF.md); measured here so the decision
-    # stays data-backed on this chip
+    # Pallas fused prep kernel, captured every round: opt-in in production
+    # (PERF.md); measured here so the decision stays data-backed
     pallas_ms = None
-    try:
-        from ntedit_tpu.ops import flag_kernel
+    if not MINI:
+        try:
+            from ntedit_tpu.ops import flag_kernel
 
-        g_pl = flag_kernel.flag_contig_gates_pallas(draft, pol.df)  # compile
-        tp = []
-        for _ in range(3):
-            t1 = time.time()
             g_pl = flag_kernel.flag_contig_gates_pallas(draft, pol.df)
-            tp.append(time.time() - t1)
-        pallas_ms = sorted(tp)[1] * 1e3
-        g_x = pol.gate_positions(draft)
-        log(f"# pallas prep kernel: {pallas_ms:.0f} ms (gates identical "
-            f"to XLA path: {np.array_equal(g_pl, g_x)})")
-    except Exception as exc:
-        log(f"# pallas timing skipped: {exc}")
+            tp = []
+            for _ in range(3):
+                t1 = time.time()
+                g_pl = flag_kernel.flag_contig_gates_pallas(draft, pol.df)
+                tp.append(time.time() - t1)
+            pallas_ms = sorted(tp)[1] * 1e3
+            g_x = pol.gate_positions(draft)
+            log(f"# pallas prep kernel: {pallas_ms:.0f} ms (gates identical "
+                f"to XLA path: {np.array_equal(g_pl, g_x)})")
+        except Exception as exc:
+            log(f"# pallas timing skipped: {exc}")
 
     # stage costs measured unoverlapped (the pipelined path overlaps them)
     t1 = time.time()
@@ -222,7 +507,7 @@ def main():
     identical = (res.edited == res_wf.edited and res.subs == res_wf.subs)
     log(f"# identity: native == wavefront: {identical} "
         f"(wavefront {time.time()-t4:.2f}s, edits={len(res.subs)})")
-    sl0 = 1_000_000
+    sl0 = min(1_000_000, ecoli_len)
     hint0 = hint[hint < sl0 - K]
     res_or = pol.oracle.polish_contig("s", bytes(draft[:sl0]), gate_hint=hint0)
     if native_ok:
@@ -251,17 +536,15 @@ def main():
         kinds[s["kind"]] = kinds.get(s["kind"], 0) + 1
     log(f"# correct={correct}: {len(injected)} injected errors, "
         f"{len(res.subs)} sub records, {len(census)} residual sites {kinds}")
-    for s in census[:5]:
+    for s in census[:3]:
         log(f"#   residual example: {s}")
     # residuals are sites where mode-0 took the first qualifying indel
     # instead of the true one, or BF FPs masked the error (the reference
-    # engine has the same failure modes; see VERDICT r1 item 2)
+    # engine has the same failure modes)
 
     # --- three-way output identity on the SAME btllib-layout filter:
-    # C++ scalar baseline == native repair == wavefront.  The baseline
-    # binary is also TIMED here (median of 3): this host's CPU speed
-    # varies run to run, so the honest denominator is measured at the
-    # same moment as our own numbers ---
+    # C++ scalar baseline == native repair == wavefront, baseline TIMED
+    # live (median of 3) ---
     three_way = None
     baseline_live = None
     binary = os.path.join(HERE, "native", "ntedit_baseline")
@@ -276,10 +559,10 @@ def main():
             pbf.save(bfp)
             ed = os.path.join(td, "edited.txt")
             runs = []
-            for _ in range(5):  # median-of-5 both sides (VERDICT r3 #6)
+            for _ in range(3):
                 out = subprocess.check_output([binary, fa, bfp, ed]).decode()
                 runs.append(json.loads(out))
-            base_stats = sorted(runs, key=lambda r: r["seconds"])[2]
+            base_stats = sorted(runs, key=lambda r: r["seconds"])[1]
             baseline_live = float(base_stats["bases_per_sec"])
             with open(ed, "rb") as f:
                 base_edited = f.read().rstrip(b"\n")
@@ -292,8 +575,6 @@ def main():
             native_repair.polish_contig_native(o.bloom, None, cfgp, "c", draft)
             if native_ok else None
         )
-        # host-derived exact gates feed the wavefront (same as the device
-        # hint, computed against the plain filter)
         fh, rh = nh.all_window_hashes(draft, K)
         hs = nh.extend_hashes_vec(nh.canonical(fh, rh), K, 3)
         gates = np.nonzero(~pbf.contains_hashes(hs))[0]
@@ -305,28 +586,39 @@ def main():
         log(f"# three-way identity (plain BF): baseline.cpp == native == "
             f"wavefront: {three_way} (baseline {base_stats['seconds']}s = "
             f"{baseline_live:,.0f} bp/s live)")
-        if not three_way and rn is not None:
-            log(f"#   native==wavefront: {rn.edited == rw.edited}; "
-                f"native==baseline: {rn.edited == base_edited}; "
-                f"lens {len(rn.edited)}/{len(rw.edited)}/{len(base_edited)}")
 
-    # --- mode-family side benches (1 Mbp slices; stderr JSON) ---
+    # --- REAL E. coli sequence (VERDICT r4 missing #2): the reference
+    # demo's actual 4.7 Mbp draft as truth, errors injected at the demo's
+    # documented rates, filter from ITS k-mers; framework output
+    # byte-diffed against the unmodified reference binary.  Real repeats
+    # and low-complexity runs exercise the KMP insertion rollback
+    # (ntedit.cpp:1312-1380) and indel cascades that uniform-random
+    # corpora cannot. ---
+    real = real_census = None
+    real_bp_per_sec = None
+    try:
+        real = run_real_ecoli()
+        if real is not None:
+            real_bp_per_sec = real["bp_per_sec"]
+            real_census = real["census_kinds"]
+    except Exception as exc:
+        log(f"# real-ecoli subsection failed: {exc}")
+
+    # --- mode-family side benches (1 Mbp slices) ---
+    snv_1m = cbf_1m = None
     try:
         from ntedit_tpu.core import nthash_ref as nh
 
-        sl = 1_000_000
+        sl = min(1_000_000, ecoli_len)
         tr_s = truth[:sl]
         dr_s = draft[:sl]
-        # SNV mode through the device candidate fast path
         cfg_snv = EngineConfig(k=K, hash_num=3, snv=True)
         pol_snv = Polisher(bf, None, cfg_snv)
         rs = pol_snv.polish_contig("s", dr_s)  # warm (compile)
         t5 = time.time()
         rs = pol_snv.polish_contig("s", dr_s)
-        log(json.dumps({"metric": "bases_snv_per_sec_chip_1mbp",
-                        "value": round(sl / (time.time() - t5), 1),
-                        "unit": "bases/s", "records": len(rs.subs)}))
-        # CBF coverage mode through the device gate pass (counting probes)
+        snv_1m = round(sl / (time.time() - t5), 1)
+        log(f"# 1 Mbp SNV: {snv_1m:,.0f} bp/s ({len(rs.subs)} records)")
         cbf = bloom.KmerCountingBloomFilter8.zeros(nbytes, 3, K)
         fh, rh = nh.all_window_hashes(tr_s, K)
         hs = nh.extend_hashes_vec(nh.canonical(fh, rh), K, 3)
@@ -337,14 +629,13 @@ def main():
         rc = pol_cbf.polish_contig("c", dr_s)  # warm (compile)
         t6 = time.time()
         rc = pol_cbf.polish_contig("c", dr_s)
-        log(json.dumps({"metric": "bases_cbf_polish_per_sec_chip_1mbp",
-                        "value": round(sl / (time.time() - t6), 1),
-                        "unit": "bases/s", "edits": len(rc.subs)}))
+        cbf_1m = round(sl / (time.time() - t6), 1)
+        log(f"# 1 Mbp CBF polish: {cbf_1m:,.0f} bp/s ({len(rc.subs)} edits)")
     except Exception as exc:  # side benches must never sink the headline
         log(f"# mode-family benches skipped: {exc}")
 
     baseline = baseline_live or measured_cpp_baseline() or BASELINE_BASES_PER_SEC
-    print(json.dumps({
+    emit({
         "metric": "bases_polished_per_sec_chip_ecoli_k25",
         "value": round(bases_per_sec, 1),
         "unit": "bases/s",
@@ -352,312 +643,137 @@ def main():
         "identical_to_wavefront": bool(identical),
         "identical_to_oracle": bool(identical_oracle),
         "three_way_identical": three_way,
+        "real_ecoli_identical_to_reference": (
+            real["identical"] if real else None),
+        "real_ecoli_bp_per_sec": real_bp_per_sec,
+        "real_ecoli_residual_kinds": real_census,
         "gate_ms": round(stage_gate * 1e3, 1),
         "repair_ms": round(stage_repair * 1e3, 1),
         "pallas_gate_ms": round(pallas_ms, 1) if pallas_ms else None,
+        "snv_1mbp_bp_per_sec": snv_1m,
+        "cbf_1mbp_bp_per_sec": cbf_1m,
+        "tunnel": health,
         "device_unavailable": (not device_ok) or None,
-    }))
+    })
 
 
-def _run_section(flag_arg: str, timeout_s: float, retries: int):
-    """Run a bench section in a subprocess (wedge isolation — a killed
-    attempt poisons only its own process); returns the section's JSON
-    record or None."""
-    for attempt in range(1, retries + 1):
-        try:
-            child = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), flag_arg],
-                capture_output=True, text=True, timeout=timeout_s,
-            )
-            for ln in child.stderr.splitlines():
-                if "WARNING" not in ln:
-                    log(ln)
-            out = child.stdout.strip().splitlines()
-            if not out:
-                log(f"# section {flag_arg} attempt {attempt}: no output "
-                    f"(device unavailable for the whole attempt)")
-                continue
-            return json.loads(out[-1])
-        except Exception as exc:
-            log(f"# section {flag_arg} attempt {attempt} failed: "
-                f"{type(exc).__name__}")
-    return None
-
-
-def orchestrate():
-    """Default entry: every device-touching section runs in its own
-    subprocess with a hard timeout and one retry, so a tunnel wedge at
-    any point costs one section attempt, never the headline line."""
-    rec = _run_section("--ecoli-only", 700.0, 2)
-    scale = _run_section("--scale-only", 1500.0, 2)
-    giant = _run_section("--giant-only", 1600.0, 2)
-    human = _run_section("--human-only", 3000.0, 1)
-    if rec is None:
-        rec = {
-            "metric": "bases_polished_per_sec_chip_ecoli_k25",
-            "value": 0.0, "unit": "bases/s", "vs_baseline": 0.0,
-            "device_unavailable": True,
-        }
-    if scale is not None:
-        log(json.dumps(scale))
-        rec["scale_50mbp_vs_baseline"] = scale.get("vs_baseline")
-        rec["scale_50mbp_vs_reference_engine"] = scale.get("vs_reference_engine")
-    else:
-        rec["scale_50mbp_vs_baseline"] = None
-    if giant is not None:
-        log(json.dumps(giant))
-        rec["scale_250mbp_vs_reference_engine"] = giant.get(
-            "vs_reference_engine")
-        rec["scale_250mbp_vs_baseline"] = giant.get("vs_baseline")
-    if human is not None:
-        log(json.dumps(human))
-        rec["scale_3gbp_vs_reference_engine"] = human.get(
-            "vs_reference_engine")
-        rec["scale_3gbp_bp_per_sec"] = human.get("value")
-    print(json.dumps(rec))
-
-
-def _build_scale_corpus(scale: int, seed: int, plain_too: bool = False):
-    """Simulated draft + device-built filter(s) at `scale` bp.
-
-    Properly sized (pow2 Broder-Mitzenmacher at fpr 0.001) — the old
-    2^31-bit cap is gone (scatter-OR build, bfbuild.scatter_or_words).
-    With plain_too, a btllib-layout twin for the C++ engines is built in
-    the SAME pass (each truth batch uploaded once, fed to both builders).
-
-    Returns (truth, draft, blocked_host, blocked_df, plain_host|None)."""
-    import jax.numpy as jnp
-
-    from ntedit_tpu.core import bfbuild, bloom
+def run_real_ecoli():
+    """Polish an error-injected copy of the REAL E. coli draft
+    (/root/reference/demo/ecoliWithMismatches001Indels0001.fa.gz used as
+    truth, errors injected at README.md:333 rates, filter from its
+    k-mers) with BOTH engines; byte-diff the three output files.
+    Returns {identical, bp_per_sec, census_kinds} or None if the real
+    sequence / reference binary is unavailable."""
+    from ntedit_tpu.core import bloom
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+    from ntedit_tpu.io import fastx
     from ntedit_tpu.utils import simulate
 
-    truth = simulate.random_genome(scale, seed=seed)
-    draft, _ = simulate.inject_errors(
-        truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=seed + 1
-    )
-    nbits = bloom.pow2_size_bytes(scale, 3, 0.001) * 8
-    bb = bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10)
-    pb = (
-        bfbuild.DeviceFilterBuilder(K, 3, nbits, 1 << 10, layout="plain")
-        if plain_too else None
-    )
-    B = bfbuild._DEV_BATCH
-    t_build = time.time()
-    for s in range(0, scale, B):
-        if s:
-            log(f"#   build batch {s // B}/{-(-scale // B)} "
-                f"({time.time() - t_build:.0f}s)")
-        # pad the tail batch to the uniform shape: ONE compiled insert
-        # program per layout per section (each first-compile costs
-        # minutes over the tunnel); pad bytes are 0x00 = invalid windows
-        chunk = truth[s : min(scale, s + B + K - 1)]
-        if len(chunk) < B + K - 1:
-            chunk = np.concatenate(
-                [chunk, np.zeros(B + K - 1 - len(chunk), np.uint8)])
-        enc = bb.encode_batch(chunk)
-        bb.insert_batch(enc, 1)
-        if pb is not None:
-            pb.insert_batch(enc, 1)
-    words_dev = bb.device_words()
-    blocked = bb.finish()
-    df = bloom.DeviceFilter(words_dev, None, nbits, 0, 3, K, False,
-                            blocked=True)
-    plain = pb.finish() if pb is not None else None
-    return truth, draft, blocked, df, plain
-
-
-def _download_words(words_dev, piece: int = 1 << 26):
-    """Chunked D2H of a big device word array (one multi-GiB transfer
-    RPC stalls on the tunnel far more often than a sequence of 256 MiB
-    pieces; progress is visible per piece)."""
-    n = words_dev.shape[0]
-    out = np.empty(n, dtype=np.uint32)
-    for s in range(0, n, piece):
-        e = min(n, s + piece)
-        out[s:e] = np.asarray(words_dev[s:e])
-        if n > piece:
-            log(f"#   download {e * 4 >> 20}/{n * 4 >> 20} MiB")
-    return out
-
-
-def _cpp_artifacts(plain_bf, draft, td: str, header: str = "c"):
-    """FASTA + plain-layout .bf on disk for the C++ engines."""
-    fa = os.path.join(td, "d.fa")
-    with open(fa, "w") as f:
-        if draft.ndim == 1:
-            f.write(f">{header}\n" + draft.tobytes().decode() + "\n")
-        else:
-            raise ValueError("1-D draft expected")
-    bfp = os.path.join(td, "t.bf")
-    plain_bf.save(bfp)
-    return fa, bfp
-
-
-def _time_binary(cmd, runs: int):
-    """Median wall-clock of `runs` executions (live denominator: this
-    host's CPU speed varies run to run)."""
-    times = []
-    for _ in range(runs):
-        t = time.time()
-        subprocess.run(cmd, check=True, capture_output=True)
-        times.append(time.time() - t)
-    return sorted(times)[len(times) // 2]
-
-
-def scale_main():
-    """--scale-only: the 50 Mbp scale section, isolated in its own
-    process.  Both C++ denominators run on the SAME 50 Mbp workload (the
-    256 MiB filter misses cache exactly like ours), timed live:
-    ntedit_baseline (median of 5) and the UNMODIFIED reference engine
-    itself (native/reference_ntedit, median of 3).  Also times the
-    production sharded path on a 1-device mesh (byte-equality asserted)
-    and the device candidate-mask variant.  Prints one JSON line on
-    stdout; progress on stderr."""
-    from ntedit_tpu.engine.config import EngineConfig
-    from ntedit_tpu.engine.polish import Polisher
-
-    if not wait_device(max_wait=900.0):
-        # the 50 Mbp build/polish is sized for the chip; on the CPU
-        # fallback it cannot finish inside the section budget — skip
-        # (the orchestrator reports scale_50mbp_vs_baseline: null)
-        log("# scale section skipped: device unavailable")
-        raise SystemExit(1)
-    SCALE = 50_000_000
-    t7 = time.time()
-    truth50, draft50, bf50, df50, plain50 = _build_scale_corpus(
-        SCALE, seed=52, plain_too=True)
+    if not os.path.exists(REAL_ECOLI):
+        log("# real-ecoli: reference demo draft not found; skipped")
+        return None
+    ref_bin = _ref_bin()
+    recs = list(fastx.read_fastx(REAL_ECOLI))
+    truth = np.concatenate([r.seq for r in recs])
+    if MINI:
+        truth = truth[: 1 << 20]
+    draft, injected = simulate.inject_errors(
+        truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4, seed=99)
+    # plain btllib layout so BOTH engines probe the identical artifact
+    nbytes = bloom.pow2_size_bytes(len(truth), 3, 0.001)
+    pbf = bloom.KmerBloomFilter.zeros(nbytes, 3, K)
+    pbf.insert_seq(truth)
     cfg = EngineConfig(k=K, hash_num=3)
-    pol50 = Polisher(bf50, None, cfg, df=df50)
-    log(f"# scale setup {time.time()-t7:.1f}s: 50 Mbp draft, "
-        f"BF {bf50.bits>>23} MiB blocked + plain twin (device-built, "
-        f"one pass)")
-    r50 = pol50.polish_contig("chr", draft50)  # warm
-    t50 = []
-    for _ in range(3):
-        t8 = time.time()
-        r50 = pol50.polish_contig("chr", draft50)
-        t50.append(time.time() - t8)
-    dt50 = sorted(t50)[1]
+    pol = Polisher(pbf, None, cfg)
+    r = pol.polish_contig("U00096.3_draft", draft)  # warm
+    t1 = time.time()
+    r = pol.polish_contig("U00096.3_draft", draft)
+    dt = time.time() - t1
+    census = residual_census(r.edited, truth.tobytes())
+    kinds = {}
+    for s in census:
+        kinds[s["kind"]] = kinds.get(s["kind"], 0) + 1
+    log(f"# real-ecoli: {len(draft)} bp REAL sequence, {len(injected)} "
+        f"injected, {len(r.subs)} records, {dt:.2f}s "
+        f"({len(draft)/dt:,.0f} bp/s), residuals {kinds}")
+    identical = None
+    if ref_bin:
+        with tempfile.TemporaryDirectory() as td:
+            fa = os.path.join(td, "d.fa")
+            with open(fa, "w") as f:
+                f.write(">U00096.3_draft\n" + draft.tobytes().decode() + "\n")
+            bfp = os.path.join(td, "t.bf")
+            pbf.save(bfp)
+            res = subprocess.run(
+                [ref_bin, "-f", fa, "-r", bfp, "-b",
+                 os.path.join(td, "ref"), "-t", "4"],
+                capture_output=True, timeout=600)
+            if res.returncode != 0:
+                log(f"# real-ecoli: reference run failed rc={res.returncode}")
+            else:
+                from ntedit_tpu import cli as _cli
 
-    # device candidate-mask pre-verification: time the threaded segment
-    # repair with vs without masks (the masks only matter when repair is
-    # the wall — the pipelined headline overlaps it, so this is the
-    # honest A/B for the default decision; PERF.md)
-    dt_cand = dt_seg0 = None
-    try:
-        from ntedit_tpu.engine import flag as _flag
-        from ntedit_tpu.engine import native_repair as _nr
+                ours = os.path.join(td, "ours")
+                _cli.main(["engine", "-f", fa, "-r", bfp, "-b", ours,
+                           "-t", "4"])
+                identical = True
+                for suffix in ("_edited.fa", "_changes.tsv"):
+                    a = open(os.path.join(td, "ref" + suffix), "rb").read()
+                    b = open(ours + suffix, "rb").read()
+                    if a != b:
+                        identical = False
+                        log(f"# real-ecoli: {suffix} DIFFERS "
+                            f"({len(a)} vs {len(b)} bytes)")
+                va = _vcf_body(os.path.join(td, "ref_variants.vcf"))
+                vb = _vcf_body(ours + "_variants.vcf")
+                if va != vb:
+                    identical = False
+                    log("# real-ecoli: _variants.vcf DIFFERS")
+                log(f"# real-ecoli: byte-identical to the UNMODIFIED "
+                    f"reference binary: {identical}")
+    return {"identical": identical, "bp_per_sec": round(len(draft) / dt, 1),
+            "census_kinds": kinds}
 
-        hint50 = pol50.gate_positions(draft50)
-        _flag.polish_candidate_masks(draft50, df50, hint50)  # warm
-        t8 = time.time()
-        masks = _flag.polish_candidate_masks(draft50, df50, hint50)
-        r_cand = _nr.polish_contig_segmented(
-            bf50, None, cfg, "chr", bytes(draft50), hint50,
-            threads=cfg.threads, gate_cand=masks)
-        dt_cand = time.time() - t8
-        t9 = time.time()
-        r_seg0 = _nr.polish_contig_segmented(
-            bf50, None, cfg, "chr", bytes(draft50), hint50,
-            threads=cfg.threads)
-        dt_seg0 = time.time() - t9
-        same = (r_cand is not None and r_seg0 is not None
-                and r_cand.edited == r50.edited == r_seg0.edited)
-        log(f"# 50 Mbp segmented repair: {dt_seg0:.2f}s plain vs "
-            f"{dt_cand:.2f}s with device cand-masks (identical: {same})")
-        if not same:
-            dt_cand = dt_seg0 = None
-    except Exception as exc:
-        log(f"# cand-mask A/B skipped: {exc}")
 
-    # production sharded path, 1-device mesh (VERDICT r3 #5): the
-    # multi-chip code path timed on the real chip, byte-equal asserted
-    dt_sh = None
-    try:
-        from ntedit_tpu.parallel import mesh as pmesh
+def _vcf_body(path):
+    with open(path) as f:
+        return [ln for ln in f
+                if not ln.startswith("##source=")
+                and not ln.startswith("##fileDate=")]
 
-        mesh1 = pmesh.make_mesh(1)
-        r_sh = pmesh.sharded_polish(
-            mesh1, "chr", draft50, bf50, df50.words, cfg, chunk=1 << 21)
-        t8 = time.time()
-        r_sh = pmesh.sharded_polish(
-            mesh1, "chr", draft50, bf50, df50.words, cfg, chunk=1 << 21)
-        dt_sh = time.time() - t8
-        same = r_sh.edited == r50.edited and r_sh.subs == r50.subs
-        log(f"# 50 Mbp sharded_polish D=1: {dt_sh:.2f}s "
-            f"(identical to Polisher: {same})")
-        if not same:
-            dt_sh = None
-    except Exception as exc:
-        log(f"# sharded_polish timing skipped: {exc}")
 
-    baseline50 = None
-    ref50 = None
-    binary = os.path.join(HERE, "native", "ntedit_baseline")
-    ref_bin = os.path.join(HERE, "native", "reference_ntedit")
-    if os.path.exists(binary):
-        try:
-            with tempfile.TemporaryDirectory() as td:
-                fa, bfp = _cpp_artifacts(plain50, draft50, td)
-                dt_base = _time_binary([binary, fa, bfp], 5)
-                baseline50 = SCALE / dt_base
-                log(f"# 50 Mbp C++ baseline (live, median of 5): "
-                    f"{baseline50:,.0f} bp/s ({dt_base:.2f}s)")
-                if os.path.exists(ref_bin):
-                    dt_ref = _time_binary(
-                        [ref_bin, "-f", fa, "-r", bfp, "-b",
-                         os.path.join(td, "ref"), "-t", "4"], 3)
-                    ref50 = SCALE / dt_ref
-                    log(f"# 50 Mbp REFERENCE engine (unmodified ntedit.cpp, "
-                        f"live, median of 3, -t 4): {ref50:,.0f} bp/s "
-                        f"({dt_ref:.2f}s)")
-        except Exception as exc:
-            log(f"# 50 Mbp baseline measurement skipped: {exc}")
-    baseline50 = (
-        baseline50
-        or measured_cpp_baseline("bases_per_sec_50mbp")
-        or measured_cpp_baseline()
-        or BASELINE_BASES_PER_SEC
-    )
-    rec = {
-        "metric": "bases_polished_per_sec_chip_50mbp_k25",
-        "value": round(SCALE / dt50, 1), "unit": "bases/s",
-        "vs_baseline": round(SCALE / dt50 / baseline50, 2),
-        "edits": len(r50.subs),
-        "wall_ms": round(dt50 * 1e3, 1),
-    }
-    if dt_sh:
-        rec["sharded_d1_wall_ms"] = round(dt_sh * 1e3, 1)
-    if dt_cand and dt_seg0:
-        rec["repair_cand_ms"] = round(dt_cand * 1e3, 1)
-        rec["repair_plain_ms"] = round(dt_seg0 * 1e3, 1)
-    if ref50:
-        rec["vs_reference_engine"] = round(SCALE / dt50 / ref50, 2)
-    print(json.dumps(rec))
-
+# ---------------------------------------------------------------------------
+# Section: --giant-only  (250 Mbp — the acceptance regime, run FIRST
+# among the scale sections)
+# ---------------------------------------------------------------------------
 
 def giant_main():
-    """--giant-only: a 250 Mbp single-contig polish (human-chromosome
-    class) — properly-sized 1 GiB device-built filter (the old 2^31-bit
-    cap is gone), one packed upload, streamed chunked dense pass,
-    threaded repair.  The UNMODIFIED reference engine runs once on the
-    same corpus as the denominator of record (its single run alone is
-    several minutes; the scalar ntedit_baseline curve lives in the
-    50 Mbp section)."""
+    """250 Mbp single-contig polish (human-chromosome class), 1 GiB
+    device-built filter, with the UNMODIFIED reference engine timed on
+    the FULL corpus (1 run, -t 4) as the denominator of record.  This is
+    the BASELINE.md acceptance number: vs_reference_engine >= 10."""
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
 
-    if not wait_device(max_wait=900.0):
+    if not wait_device(max_wait=600.0):
         log("# giant section skipped: device unavailable")
         raise SystemExit(1)
-    SCALE = 250_000_000
+    ensure_native(("reference_ntedit",))
+    health = tunnel_health()
+    SCALE = (1 << 23) if MINI else 250_000_000
+    from ntedit_tpu.core import bloom as _bloom
+
+    nbits = _bloom.pow2_size_bytes(SCALE, 3, 0.001) * 8
     t0 = time.time()
-    truth, draft, bf, df, plain = _build_scale_corpus(
-        SCALE, seed=72, plain_too=True)
+    corpus = get_corpus("g250m" if not MINI else "g_mini",
+                        [SCALE], [72], nbits, plain_too=True,
+                        write_fasta_contigs=1)
+    draft = corpus["drafts"][0]
     cfg = EngineConfig(k=K, hash_num=3)
-    pol = Polisher(bf, None, cfg, df=df)
+    pol = Polisher(corpus["blocked"], None, cfg, df=corpus["df"])
     log(f"# giant setup {time.time()-t0:.1f}s: 250 Mbp draft, "
-        f"BF {bf.bits>>23} MiB blocked + plain twin (device-built)")
+        f"BF {nbits>>23} MiB blocked (+ plain twin on disk)")
     import resource
 
     r = pol.polish_contig("chr1", draft)  # warm
@@ -672,17 +788,17 @@ def giant_main():
         f"{len(r.subs)} records, peak RSS {rss:.1f} GB")
 
     ref = None
-    ref_bin = os.path.join(HERE, "native", "reference_ntedit")
-    if os.path.exists(ref_bin):
+    ref_bin = _ref_bin()
+    if ref_bin and corpus["fa"] and corpus["bf"]:
         try:
             with tempfile.TemporaryDirectory() as td:
-                fa, bfp = _cpp_artifacts(plain, draft, td)
                 dt_ref = _time_binary(
-                    [ref_bin, "-f", fa, "-r", bfp, "-b",
+                    [ref_bin, "-f", corpus["fa"], "-r", corpus["bf"], "-b",
                      os.path.join(td, "ref"), "-t", "4"], 1)
                 ref = SCALE / dt_ref
                 log(f"# 250 Mbp REFERENCE engine (unmodified ntedit.cpp, "
-                    f"live, 1 run, -t 4): {ref:,.0f} bp/s ({dt_ref:.1f}s)")
+                    f"live, FULL length, 1 run, -t 4): {ref:,.0f} bp/s "
+                    f"({dt_ref:.1f}s)")
         except Exception as exc:
             log(f"# 250 Mbp reference measurement skipped: {exc}")
     rec = {
@@ -691,90 +807,134 @@ def giant_main():
         "edits": len(r.subs),
         "wall_ms": round(dt * 1e3, 1),
         "peak_rss_gb": round(rss, 2),
+        "tunnel": health,
     }
     if ref:
         rec["vs_reference_engine"] = round(SCALE / dt / ref, 2)
+        rec["reference_bp_per_sec"] = round(ref, 1)
         rec["vs_baseline"] = rec["vs_reference_engine"]
     else:
         rec["vs_baseline"] = round(
             SCALE / dt / (measured_cpp_baseline() or BASELINE_BASES_PER_SEC), 2)
-    print(json.dumps(rec))
+    emit(rec)
 
 
-def human_main():
-    """--human-only: the stated north-star workload (BASELINE.md) — a
-    3 Gbp, 24-contig human-scale draft with a 4 GiB (2^35-bit) filter,
-    both BUILT ON THE CHIP (blocked for our engine + the plain btllib
-    layout for the reference, one pass over the truth stream), polished
-    contig-streamed, with the unmodified reference engine timed live on
-    the first 2 contigs (250 Mbp) of the SAME corpus/filter as the
-    per-base denominator (a full 3 Gbp reference run is ~1 h on this
-    2-core host — the 250 Mbp slice is the honest affordable sample; at
-    fixed filter size the scalar engine's per-base rate is scale-free,
-    and -t 4 over 2 contigs saturates both cores exactly like the full
-    run would).  Prints one JSON line on stdout."""
-    import jax.numpy as jnp
+# ---------------------------------------------------------------------------
+# Section: --snv-only  (250 Mbp SNV — the reference's at-scale marquee
+# mode; reuses the giant corpus + filter)
+# ---------------------------------------------------------------------------
 
-    from ntedit_tpu.core import bfbuild, bloom
+def snv_main():
     from ntedit_tpu.engine.config import EngineConfig
     from ntedit_tpu.engine.polish import Polisher
-    from ntedit_tpu.utils import simulate
 
-    mini = os.environ.get("NTEDIT_BENCH_MINI") == "1"  # CPU shakeout
-    if not mini and not wait_device(max_wait=900.0):
+    if not wait_device(max_wait=600.0):
+        log("# snv section skipped: device unavailable")
+        raise SystemExit(1)
+    ensure_native(("reference_ntedit",))
+    health = tunnel_health()
+    SCALE = (1 << 23) if MINI else 250_000_000
+    REF_SLICE = (1 << 21) if MINI else 25_000_000
+    from ntedit_tpu.core import bloom as _bloom
+
+    nbits = _bloom.pow2_size_bytes(SCALE, 3, 0.001) * 8
+    t0 = time.time()
+    corpus = get_corpus("g250m" if not MINI else "g_mini",
+                        [SCALE], [72], nbits, plain_too=True,
+                        write_fasta_contigs=1)
+    draft = corpus["drafts"][0]
+    cfg = EngineConfig(k=K, hash_num=3, snv=True)
+    pol = Polisher(corpus["blocked"], None, cfg, df=corpus["df"])
+    log(f"# snv setup {time.time()-t0:.1f}s (shared g250m corpus)")
+    r = pol.polish_contig("chr1", draft)  # warm
+    times = []
+    for _ in range(2):
+        t1 = time.time()
+        r = pol.polish_contig("chr1", draft)
+        times.append(time.time() - t1)
+    dt = min(times)
+    log(f"# 250 Mbp SNV: {dt:.2f}s ({SCALE/dt:,.0f} bp/s), "
+        f"{len(r.subs)} records")
+
+    ref = None
+    ref_bin = _ref_bin()
+    if ref_bin and corpus["bf"]:
+        try:
+            fa_slice = _slice_fasta(corpus["dir"], "d_snv_slice.fa",
+                                    REF_SLICE)
+            with tempfile.TemporaryDirectory() as td:
+                dt_ref = _time_binary(
+                    [ref_bin, "-f", fa_slice, "-r", corpus["bf"], "-b",
+                     os.path.join(td, "ref"), "-t", "4", "-s", "1"], 1)
+                ref = REF_SLICE / dt_ref
+                log(f"# SNV REFERENCE engine (-s 1, live, "
+                    f"{REF_SLICE//1_000_000} Mbp slice, -t 4): "
+                    f"{ref:,.0f} bp/s ({dt_ref:.1f}s)")
+        except Exception as exc:
+            log(f"# SNV reference measurement skipped: {exc}")
+    rec = {
+        "metric": "bases_snv_per_sec_chip_250mbp_k25",
+        "value": round(SCALE / dt, 1), "unit": "bases/s",
+        "records": len(r.subs),
+        "wall_ms": round(dt * 1e3, 1),
+        "tunnel": health,
+    }
+    if ref:
+        # per-base ratio; the reference rate comes from a slice (the
+        # full-length -s 1 run alone would blow the section budget), so
+        # the ratio is labeled extrapolated (ADVICE r4 #4 convention)
+        rec["vs_reference_engine_extrapolated"] = round(SCALE / dt / ref, 2)
+        rec["reference_bp_per_sec"] = round(ref, 1)
+        rec["reference_timed_bp"] = REF_SLICE
+        rec["vs_baseline"] = rec["vs_reference_engine_extrapolated"]
+    else:
+        rec["vs_baseline"] = 0.0
+    emit(rec)
+
+
+# ---------------------------------------------------------------------------
+# Section: --human-only  (3 Gbp over 24 contigs, 4 GiB filter)
+# ---------------------------------------------------------------------------
+
+def human_main():
+    """The stated north-star workload (BASELINE.md): 3 Gbp, 24-contig
+    human-scale draft, 4 GiB (2^35-bit) filter built on the chip, polished
+    contig-streamed; the unmodified reference engine timed live on the
+    first 2 contigs (250 Mbp) of the SAME corpus/filter (a full 3 Gbp
+    reference run is ~1 h on this 2-core host).  The per-base ratio is
+    labeled _extrapolated (ADVICE r4 #4): it assumes the scalar engine's
+    per-base rate at fixed filter size is scale-free."""
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+
+    if not MINI and not wait_device(max_wait=600.0):
         log("# human section skipped: device unavailable")
         raise SystemExit(1)
-    if mini:
+    ensure_native(("reference_ntedit",))
+    health = tunnel_health()
+    if MINI:
         N_CONTIGS, CLEN, NBITS = 3, 1 << 20, 1 << 22
     else:
         N_CONTIGS, CLEN = 24, 125_000_000
         NBITS = 1 << 35  # 4 GiB: the SURVEY §5.8 human-read-set sizing
     TOTAL = N_CONTIGS * CLEN
     t0 = time.time()
-    bb = bfbuild.DeviceFilterBuilder(K, 3, NBITS, 1 << 10)
-    pb = bfbuild.DeviceFilterBuilder(K, 3, NBITS, 1 << 10, layout="plain")
-    drafts = []
-    B = bfbuild._DEV_BATCH
-    for c in range(N_CONTIGS):
-        truth = simulate.random_genome(CLEN, seed=5000 + c)
-        draft, _ = simulate.inject_errors(
-            truth, sub_rate=1e-3, ins_rate=1e-4, del_rate=1e-4,
-            seed=6000 + c,
-        )
-        drafts.append(draft)
-        for s in range(0, CLEN, B):
-            chunk = truth[s : min(CLEN, s + B + K - 1)]
-            if len(chunk) < B + K - 1:  # one compiled shape per layout
-                chunk = np.concatenate(
-                    [chunk, np.zeros(B + K - 1 - len(chunk), np.uint8)])
-            enc = bb.encode_batch(chunk)
-            bb.insert_batch(enc, 1)
-            pb.insert_batch(enc, 1)
-        del truth
-        if c % 6 == 0:
-            log(f"# human build: contig {c + 1}/{N_CONTIGS} "
-                f"({time.time() - t0:.0f}s)")
-    words_dev = bb.device_words()
-    t_dl = time.time()
-    host_words = _download_words(words_dev)  # host repair probes need it
-    bb.words = None
-    blocked = bloom.BlockedKmerBloomFilter(host_words, 3, K)
-    log(f"# blocked filter download: {time.time() - t_dl:.0f}s "
-        f"({host_words.nbytes >> 30} GiB)")
-    df = bloom.DeviceFilter(words_dev, None, NBITS, 0, 3, K, False,
-                            blocked=True)
+    corpus = get_corpus("h3g" if not MINI else "h_mini",
+                        [CLEN] * N_CONTIGS,
+                        [5000 + c for c in range(N_CONTIGS)],
+                        NBITS, plain_too=True, write_fasta_contigs=2)
     log(f"# human setup {time.time() - t0:.0f}s: {TOTAL / 1e9:.2f} Gbp "
         f"over {N_CONTIGS} contigs, filter 2^{NBITS.bit_length() - 1} bits "
-        f"= {NBITS >> 33} GiB (blocked + plain twins, device-built)")
-
+        f"= {NBITS >> 33} GiB")
     import resource
 
     cfg = EngineConfig(k=K, hash_num=3)
-    pol = Polisher(blocked, None, cfg, df=df)
-    _ = pol.polish_contig("warm", drafts[0][: min(CLEN, 4_194_304) + K])  # compile
+    pol = Polisher(corpus["blocked"], None, cfg, df=corpus["df"])
+    _ = pol.polish_contig(
+        "warm", corpus["drafts"][0][: min(CLEN, 4_194_304) + K])  # compile
     t1 = time.time()
     edits = 0
-    for c, draft in enumerate(drafts):
+    for c, draft in enumerate(corpus["drafts"]):
         r = pol.polish_contig(f"chr{c + 1}", draft)
         edits += len(r.subs)
         del r
@@ -785,32 +945,19 @@ def human_main():
 
     ref = None
     ref_bp = 2 * CLEN
-    ref_bin = os.path.join(HERE, "native", "reference_ntedit")
-    try:
-        t_dl = time.time()
-        plain_words = _download_words(pb.device_words())
-        pb.words = None
-        plain = bloom.KmerBloomFilter(plain_words.view(np.uint8), 3, K)
-        log(f"# plain filter download: {time.time() - t_dl:.0f}s")
-        if os.path.exists(ref_bin):
+    ref_bin = _ref_bin()
+    if ref_bin and corpus["fa"] and corpus["bf"]:
+        try:
             with tempfile.TemporaryDirectory() as td:
-                fa = os.path.join(td, "d.fa")
-                with open(fa, "w") as f:
-                    for c in range(2):
-                        f.write(f">chr{c + 1}\n"
-                                + drafts[c].tobytes().decode() + "\n")
-                bfp = os.path.join(td, "t.bf")
-                plain.save(bfp)
-                del plain
                 dt_ref = _time_binary(
-                    [ref_bin, "-f", fa, "-r", bfp, "-b",
+                    [ref_bin, "-f", corpus["fa"], "-r", corpus["bf"], "-b",
                      os.path.join(td, "ref"), "-t", "4"], 1)
                 ref = ref_bp / dt_ref
                 log(f"# REFERENCE engine on 250 Mbp of the corpus (4 GiB "
                     f"filter, -t 4 over 2 contigs = both cores, 1 run): "
                     f"{ref:,.0f} bp/s ({dt_ref:.0f}s)")
-    except Exception as exc:
-        log(f"# human reference measurement skipped: {exc}")
+        except Exception as exc:
+            log(f"# human reference measurement skipped: {exc}")
 
     rec = {
         "metric": "bases_polished_per_sec_chip_3gbp_k25",
@@ -820,12 +967,282 @@ def human_main():
         "peak_rss_gb": round(rss, 2),
         "filter_bits_log2": NBITS.bit_length() - 1,
         "contigs": N_CONTIGS,
+        "tunnel": health,
     }
     if ref:
-        rec["vs_reference_engine"] = round(TOTAL / dt / ref, 2)
+        rec["vs_reference_engine_extrapolated"] = round(TOTAL / dt / ref, 2)
         rec["reference_bp_per_sec"] = round(ref, 1)
         rec["reference_timed_bp"] = ref_bp
-    print(json.dumps(rec))
+        rec["vs_baseline"] = rec["vs_reference_engine_extrapolated"]
+    else:
+        rec["vs_baseline"] = 0.0
+    emit(rec)
+
+
+# ---------------------------------------------------------------------------
+# Section: --scale-only  (50 Mbp + scalar baseline + sharded D=1)
+# ---------------------------------------------------------------------------
+
+def scale_main():
+    """50 Mbp scale section: framework vs BOTH live C++ denominators
+    (scalar ntedit_baseline median-of-3 and the unmodified reference
+    median-of-3, -t 4), plus the production sharded path on a 1-device
+    mesh (byte-equality asserted) — the only multi-chip perf signal this
+    environment can produce.  The device cand-mask A/B is opt-in
+    (NTEDIT_BENCH_AB=1): it loses single-chip (r04: 3.88s vs 0.53s)."""
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.polish import Polisher
+
+    if not wait_device(max_wait=600.0):
+        log("# scale section skipped: device unavailable")
+        raise SystemExit(1)
+    ensure_native()
+    health = tunnel_health()
+    SCALE = (1 << 23) if MINI else 50_000_000
+    from ntedit_tpu.core import bloom as _bloom
+
+    nbits = _bloom.pow2_size_bytes(SCALE, 3, 0.001) * 8
+    t7 = time.time()
+    corpus = get_corpus("s50m" if not MINI else "s_mini",
+                        [SCALE], [52], nbits, plain_too=True,
+                        write_fasta_contigs=1)
+    draft50 = corpus["drafts"][0]
+    bf50, df50 = corpus["blocked"], corpus["df"]
+    cfg = EngineConfig(k=K, hash_num=3)
+    pol50 = Polisher(bf50, None, cfg, df=df50)
+    log(f"# scale setup {time.time()-t7:.1f}s: 50 Mbp draft, "
+        f"BF {nbits>>23} MiB blocked (+ plain twin on disk)")
+    r50 = pol50.polish_contig("chr", draft50)  # warm
+    t50 = []
+    for _ in range(3):
+        t8 = time.time()
+        r50 = pol50.polish_contig("chr", draft50)
+        t50.append(time.time() - t8)
+    dt50 = sorted(t50)[1]
+
+    # opt-in device candidate-mask A/B (loses single-chip; kept measurable)
+    dt_cand = dt_seg0 = None
+    if os.environ.get("NTEDIT_BENCH_AB") == "1":
+        try:
+            from ntedit_tpu.engine import flag as _flag
+            from ntedit_tpu.engine import native_repair as _nr
+
+            hint50 = pol50.gate_positions(draft50)
+            _flag.polish_candidate_masks(draft50, df50, hint50)  # warm
+            t8 = time.time()
+            masks = _flag.polish_candidate_masks(draft50, df50, hint50)
+            r_cand = _nr.polish_contig_segmented(
+                bf50, None, cfg, "chr", bytes(draft50), hint50,
+                threads=cfg.threads, gate_cand=masks)
+            dt_cand = time.time() - t8
+            t9 = time.time()
+            r_seg0 = _nr.polish_contig_segmented(
+                bf50, None, cfg, "chr", bytes(draft50), hint50,
+                threads=cfg.threads)
+            dt_seg0 = time.time() - t9
+            same = (r_cand is not None and r_seg0 is not None
+                    and r_cand.edited == r50.edited == r_seg0.edited)
+            log(f"# 50 Mbp segmented repair: {dt_seg0:.2f}s plain vs "
+                f"{dt_cand:.2f}s with device cand-masks (identical: {same})")
+            if not same:
+                dt_cand = dt_seg0 = None
+        except Exception as exc:
+            log(f"# cand-mask A/B skipped: {exc}")
+
+    # production sharded path, 1-device mesh: the multi-chip code path
+    # timed on the real chip, byte-equal asserted (VERDICT r4 #4 target:
+    # within 2x of the Polisher wall)
+    dt_sh = None
+    try:
+        from ntedit_tpu.parallel import mesh as pmesh
+
+        mesh1 = pmesh.make_mesh(1)
+        r_sh = pmesh.sharded_polish(
+            mesh1, "chr", draft50, bf50, df50.words, cfg)
+        t8 = time.time()
+        r_sh = pmesh.sharded_polish(
+            mesh1, "chr", draft50, bf50, df50.words, cfg)
+        dt_sh = time.time() - t8
+        same = r_sh.edited == r50.edited and r_sh.subs == r50.subs
+        log(f"# 50 Mbp sharded_polish D=1: {dt_sh:.2f}s "
+            f"(identical to Polisher: {same})")
+        if not same:
+            dt_sh = None
+    except Exception as exc:
+        log(f"# sharded_polish timing skipped: {exc}")
+
+    baseline50 = None
+    ref50 = None
+    binary = os.path.join(HERE, "native", "ntedit_baseline")
+    ref_bin = _ref_bin()
+    if os.path.exists(binary) and corpus["fa"] and corpus["bf"]:
+        try:
+            dt_base = _time_binary([binary, corpus["fa"], corpus["bf"]], 3)
+            baseline50 = SCALE / dt_base
+            log(f"# 50 Mbp C++ baseline (live, median of 3): "
+                f"{baseline50:,.0f} bp/s ({dt_base:.2f}s)")
+            if ref_bin:
+                with tempfile.TemporaryDirectory() as td:
+                    dt_ref = _time_binary(
+                        [ref_bin, "-f", corpus["fa"], "-r", corpus["bf"],
+                         "-b", os.path.join(td, "ref"), "-t", "4"], 3)
+                ref50 = SCALE / dt_ref
+                log(f"# 50 Mbp REFERENCE engine (unmodified ntedit.cpp, "
+                    f"live, median of 3, -t 4): {ref50:,.0f} bp/s "
+                    f"({dt_ref:.2f}s)")
+        except Exception as exc:
+            log(f"# 50 Mbp baseline measurement skipped: {exc}")
+    baseline50 = (
+        baseline50
+        or measured_cpp_baseline("bases_per_sec_50mbp")
+        or measured_cpp_baseline()
+        or BASELINE_BASES_PER_SEC
+    )
+    rec = {
+        "metric": "bases_polished_per_sec_chip_50mbp_k25",
+        "value": round(SCALE / dt50, 1), "unit": "bases/s",
+        "vs_baseline": round(SCALE / dt50 / baseline50, 2),
+        "edits": len(r50.subs),
+        "wall_ms": round(dt50 * 1e3, 1),
+        "tunnel": health,
+    }
+    if dt_sh:
+        rec["sharded_d1_wall_ms"] = round(dt_sh * 1e3, 1)
+        rec["sharded_d1_vs_polisher"] = round(dt_sh / dt50, 2)
+    if dt_cand and dt_seg0:
+        rec["repair_cand_ms"] = round(dt_cand * 1e3, 1)
+        rec["repair_plain_ms"] = round(dt_seg0 * 1e3, 1)
+    if ref50:
+        rec["vs_reference_engine"] = round(SCALE / dt50 / ref50, 2)
+    emit(rec)
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+def _run_section(flag_arg: str, timeout_s: float, retries: int):
+    """Run a bench section in a subprocess (wedge isolation — a killed
+    attempt poisons only its own process); returns the section's JSON
+    record or None.  Child stderr is relayed; any JSON-looking child
+    line is prefixed so the orchestrator's own stdout records stay the
+    only parseable JSON lines."""
+    for attempt in range(1, retries + 1):
+        try:
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag_arg],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            for ln in child.stderr.splitlines():
+                if "WARNING" not in ln:
+                    log(ln if not ln.lstrip().startswith("{") else "# " + ln)
+            out = child.stdout.strip().splitlines()
+            if not out:
+                log(f"# section {flag_arg} attempt {attempt}: no output "
+                    f"(rc={child.returncode})")
+                continue
+            return json.loads(out[-1])
+        except Exception as exc:
+            log(f"# section {flag_arg} attempt {attempt} failed: "
+                f"{type(exc).__name__}")
+    return None
+
+
+# (section flag, per-attempt timeout, retries, min seconds of remaining
+# budget required to start an attempt)
+_SECTIONS = [
+    ("--ecoli-only", 700.0, 2, 200),
+    ("--giant-only", 1500.0, 2, 300),
+    ("--snv-only", 800.0, 1, 250),
+    ("--human-only", 1800.0, 1, 500),
+    ("--scale-only", 700.0, 1, 250),
+]
+
+
+def orchestrate():
+    """Default entry.  Every section runs in its own subprocess with a
+    hard timeout; the MERGED record is re-emitted on stdout after every
+    section, so the capture survives a driver kill at any point.  A
+    global deadline (NTEDIT_BENCH_BUDGET seconds, default 2300) bounds
+    the whole run: sections that no longer fit are skipped and listed."""
+    budget = float(os.environ.get("NTEDIT_BENCH_BUDGET", "2300"))
+    t_start = time.time()
+    rec = {
+        "metric": "bases_polished_per_sec_chip_ecoli_k25",
+        "value": 0.0, "unit": "bases/s", "vs_baseline": 0.0,
+        "sections_completed": [], "sections_skipped": [],
+    }
+    for flag_arg, tmo, retries, min_needed in _SECTIONS:
+        remaining = budget - (time.time() - t_start)
+        if remaining < min_needed:
+            log(f"# section {flag_arg} skipped: {remaining:.0f}s left "
+                f"< {min_needed}s needed")
+            rec["sections_skipped"].append(flag_arg)
+            emit(rec)
+            continue
+        sec = _run_section(flag_arg, min(tmo, max(60.0, remaining)), retries)
+        if sec is None:
+            rec["sections_skipped"].append(flag_arg)
+        else:
+            rec["sections_completed"].append(flag_arg)
+            _merge_section(rec, flag_arg, sec)
+        emit(rec)
+    rec["bench_wall_s"] = round(time.time() - t_start, 1)
+    emit(rec)
+
+
+def _merge_section(rec: dict, flag_arg: str, sec: dict) -> None:
+    """Fold a section record into the merged headline record.  The
+    headline metric/value/vs_baseline becomes the 250 Mbp section's
+    (the acceptance regime) once it lands; the ecoli section fills them
+    until then."""
+    if flag_arg == "--ecoli-only":
+        for key in ("identical_to_wavefront", "identical_to_oracle",
+                    "three_way_identical",
+                    "real_ecoli_identical_to_reference",
+                    "real_ecoli_bp_per_sec", "real_ecoli_residual_kinds",
+                    "gate_ms", "repair_ms", "pallas_gate_ms",
+                    "snv_1mbp_bp_per_sec", "cbf_1mbp_bp_per_sec",
+                    "device_unavailable"):
+            if sec.get(key) is not None:
+                rec[key] = sec[key]
+        rec["ecoli_bases_per_sec"] = sec.get("value")
+        rec["ecoli_vs_baseline"] = sec.get("vs_baseline")
+        if rec["metric"] == "bases_polished_per_sec_chip_ecoli_k25":
+            rec["value"] = sec.get("value", 0.0)
+            rec["vs_baseline"] = sec.get("vs_baseline", 0.0)
+        rec["tunnel_ecoli"] = sec.get("tunnel")
+    elif flag_arg == "--giant-only":
+        # headline = the acceptance regime (VERDICT r4 next #1)
+        rec["metric"] = sec["metric"]
+        rec["value"] = sec.get("value", 0.0)
+        rec["vs_baseline"] = sec.get("vs_baseline", 0.0)
+        if sec.get("vs_reference_engine") is not None:
+            rec["vs_reference_engine"] = sec["vs_reference_engine"]
+            rec["reference_bp_per_sec_250mbp"] = sec.get("reference_bp_per_sec")
+        rec["scale_250mbp_bp_per_sec"] = sec.get("value")
+        rec["scale_250mbp_wall_ms"] = sec.get("wall_ms")
+        rec["tunnel_250mbp"] = sec.get("tunnel")
+    elif flag_arg == "--snv-only":
+        rec["snv_250mbp_bp_per_sec"] = sec.get("value")
+        rec["snv_250mbp_records"] = sec.get("records")
+        rec["snv_vs_reference_engine_extrapolated"] = sec.get(
+            "vs_reference_engine_extrapolated")
+        rec["snv_reference_bp_per_sec"] = sec.get("reference_bp_per_sec")
+        rec["tunnel_snv"] = sec.get("tunnel")
+    elif flag_arg == "--human-only":
+        rec["scale_3gbp_bp_per_sec"] = sec.get("value")
+        rec["scale_3gbp_vs_reference_engine_extrapolated"] = sec.get(
+            "vs_reference_engine_extrapolated")
+        rec["scale_3gbp_peak_rss_gb"] = sec.get("peak_rss_gb")
+        rec["tunnel_3gbp"] = sec.get("tunnel")
+    elif flag_arg == "--scale-only":
+        rec["scale_50mbp_bp_per_sec"] = sec.get("value")
+        rec["scale_50mbp_vs_baseline"] = sec.get("vs_baseline")
+        rec["scale_50mbp_vs_reference_engine"] = sec.get("vs_reference_engine")
+        rec["sharded_d1_wall_ms"] = sec.get("sharded_d1_wall_ms")
+        rec["sharded_d1_vs_polisher"] = sec.get("sharded_d1_vs_polisher")
+        rec["tunnel_50mbp"] = sec.get("tunnel")
 
 
 if __name__ == "__main__":
@@ -833,6 +1250,8 @@ if __name__ == "__main__":
         scale_main()
     elif "--giant-only" in sys.argv:
         giant_main()
+    elif "--snv-only" in sys.argv:
+        snv_main()
     elif "--human-only" in sys.argv:
         human_main()
     elif "--ecoli-only" in sys.argv:

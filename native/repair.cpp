@@ -622,6 +622,13 @@ struct Engine {
   const int64_t* cand_gates = nullptr;
   const uint8_t* cand_masks = nullptr;
   int64_t n_cand = 0;
+  // Device-precomputed SNV site decisions (flag.snv_site_data): parallel
+  // to cand_gates, 6 uint8 per entry [flags, check_there, verA, verC,
+  // verG, verT]; flags bit0 = row valid, bits 1-4 = alternate pre-check
+  // bits.  Consumed in fix_site at provably-pristine SNV windows — zero
+  // probes; arbitration still runs below, so output is bit-identical
+  // with or without rows.
+  const uint8_t* site_rows = nullptr;
   int64_t max_edit_orig = -1;  // max original coord written in place
 
   inline bool counting() const { return bf.counting(); }
@@ -969,6 +976,60 @@ struct Engine {
   // _fix_site (oracle.py:881-983)
   bool fix_site(uint8_t draft_char, State& st, uint64_t& fh, uint64_t& rh) {
     int k = p.k;
+    // Device-precomputed SNV fast path (VERDICT r4 #3): consume the
+    // per-site row instead of probing when (a) SNV with no indels/mask
+    // and a plain filter with no reject BF (the row's implicit solid()
+    // equals contains), (b) the window is provably the pristine draft —
+    // head and tail inside the SAME span node at coordinate span k-1,
+    // wholly past the last in-place write; in SNV mode the rope never
+    // changes structurally (i = d = 0, ntedit.cpp:2411-2413), so this is
+    // exactly "no earlier substitution within reach" and the forward
+    // 2k lookahead is untouched because writes only ever land at or
+    // before the current tail — and (c) the row is valid (full 2k scan
+    // inside the contig, no exception bytes; flag.snv_site_data).  The
+    // arbitration below (SNV baseline, pre-check gatekeeping,
+    // shuffle_best, make_edit) is this engine's own code — only probe
+    // RESULTS are precomputed, and device probes are bit-identical to
+    // host probes, so output matches the live path bit for bit
+    // (tests/test_native_repair.py, tests/test_snv_device.py).
+    if (p.snv && site_rows && cand_gates && !counting() && !has_rep &&
+        p.mode != 2 && p.max_insertions == 0 && p.max_deletions == 0 &&
+        !p.mask && st.h.idx < rope.length && st.t.idx < rope.length &&
+        st.h.node == st.t.node && rope.is_span(st.h)) {
+      int64_t oh = rope.orig_at(st.h), ot = rope.orig_at(st.t);
+      if (ot - oh == (int64_t)k - 1 && oh > max_edit_orig) {
+        const int64_t* lo =
+            std::lower_bound(cand_gates, cand_gates + n_cand, oh);
+        if (lo != cand_gates + n_cand && *lo == oh) {
+          const uint8_t* row = site_rows + 6 * (lo - cand_gates);
+          if (row[0] & 1) {
+            Best best;
+            int check_there_r = row[1];
+            if ((double)check_there_r >= p.present_needed) {
+              best.sub_base = draft_char;
+              best.support = check_there_r;
+            }
+            const std::string& alts = bases_tab[draft_char];
+            for (char alt_ch : alts) {
+              uint8_t sub_base = (uint8_t)alt_ch;
+              int ci = sub_base == 'A' ? 0 : sub_base == 'C' ? 1
+                       : sub_base == 'G' ? 2 : sub_base == 'T' ? 3 : -1;
+              if (ci < 0) continue;  // unreachable: valid rows are ACGT
+              if (((row[0] >> (1 + ci)) & 1) == 0) continue;  // pre-check
+              int check_present = row[2 + ci];
+              if ((double)check_present >= p.present_needed) {
+                shuffle_best(best, sub_base, check_present);
+                continue;  // modes 0/1 skip indels after a qualifier
+              }
+              // pre-check passed, verify failed: try_indels would run
+              // here, but max_insertions == max_deletions == 0 makes it
+              // an exact no-op (zero trial iterations, no state change)
+            }
+            return make_edit(draft_char, best, st, fh, rh);
+          }
+        }
+      }
+    }
     State tmp = st;
     uint64_t tfh = fh, trh = rh;
     int check_missing = 0, check_there = 0;
@@ -1258,14 +1319,19 @@ extern "C" {
 // "ACGT"[c])) true on the pristine draft; 0xFF = no information.  A
 // pure first-probe replacement: output is bit-identical with or
 // without it (tests/test_native_repair.py::test_candidate_masks).
-int64_t ntr_polish_contig_cand(
+// site_rows (may be null): uint8[6] per gate entry — the device-
+// precomputed SNV decision row (flag.snv_site_data): [flags,
+// check_there, verA, verC, verG, verT]; flags bit0 = valid, bits 1-4 =
+// alternate pre-check bits.  Consumed only at provably-pristine SNV
+// windows; output is bit-identical with or without rows.
+int64_t ntr_polish_contig_v2(
     uint8_t* contig, int64_t L,
     const int64_t* gates, int64_t n_gates,
     const NtrFilter* bf, const NtrFilter* bfrep,
     const NtrParams* params,
     int64_t* subs_out, int64_t subs_cap, int64_t* n_subs,
     int64_t* nodes_out, int64_t nodes_cap, int64_t* n_nodes,
-    const uint8_t* gate_cand) {
+    const uint8_t* gate_cand, const uint8_t* site_rows) {
   if (!contig || !bf || !params || !n_subs || !n_nodes) return -1;
   // the engine trusts these bounds internally (fixed window[256] buffers,
   // NUM_TRIES[max_insertions] indexing) — reject out-of-range params here
@@ -1289,9 +1355,10 @@ int64_t ntr_polish_contig_cand(
   e.bases_tab = params->snv ? eng::BASES_SNV : eng::BASES_POLISH;
   e.L = L;
   e.rope.init(contig, L);
-  if (gate_cand && gates) {
+  if ((gate_cand || site_rows) && gates) {
     e.cand_gates = gates;
     e.cand_masks = gate_cand;
+    e.site_rows = site_rows;
     e.n_cand = n_gates;
   }
   e.polish(gates, gates ? n_gates : 0);
@@ -1316,6 +1383,20 @@ int64_t ntr_polish_contig_cand(
   return 0;
 }
 
+int64_t ntr_polish_contig_cand(
+    uint8_t* contig, int64_t L,
+    const int64_t* gates, int64_t n_gates,
+    const NtrFilter* bf, const NtrFilter* bfrep,
+    const NtrParams* params,
+    int64_t* subs_out, int64_t subs_cap, int64_t* n_subs,
+    int64_t* nodes_out, int64_t nodes_cap, int64_t* n_nodes,
+    const uint8_t* gate_cand) {
+  return ntr_polish_contig_v2(contig, L, gates, n_gates, bf, bfrep, params,
+                              subs_out, subs_cap, n_subs,
+                              nodes_out, nodes_cap, n_nodes, gate_cand,
+                              nullptr);
+}
+
 int64_t ntr_polish_contig(
     uint8_t* contig, int64_t L,
     const int64_t* gates, int64_t n_gates,
@@ -1323,9 +1404,10 @@ int64_t ntr_polish_contig(
     const NtrParams* params,
     int64_t* subs_out, int64_t subs_cap, int64_t* n_subs,
     int64_t* nodes_out, int64_t nodes_cap, int64_t* n_nodes) {
-  return ntr_polish_contig_cand(contig, L, gates, n_gates, bf, bfrep, params,
-                                subs_out, subs_cap, n_subs,
-                                nodes_out, nodes_cap, n_nodes, nullptr);
+  return ntr_polish_contig_v2(contig, L, gates, n_gates, bf, bfrep, params,
+                              subs_out, subs_cap, n_subs,
+                              nodes_out, nodes_cap, n_nodes, nullptr,
+                              nullptr);
 }
 
 const char* ntr_version(void) { return "ntedit-repair/2"; }

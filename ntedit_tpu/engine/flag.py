@@ -166,7 +166,15 @@ def _effective_chunk(n: int, chunk: int) -> int:
     return min(c, chunk)
 
 
-def _encode_packed(seq: np.ndarray, n: int, k: int, chunk: int):
+def _halo_words_snv(k: int) -> int:
+    """Halo for the SNV site-data pass: window hashes are needed for heads
+    up to chunk-1+k (the confirmation/verify scans roll k windows past a
+    head), so the decode must cover chunk + 2k - 2 bases."""
+    return (2 * k - 3) // 16 + 1
+
+
+def _encode_packed(seq: np.ndarray, n: int, k: int, chunk: int,
+                   halo_words: Optional[int] = None):
     """ASCII draft [L] -> (packed uint32 words, exception positions).
 
     The packed array covers every chunk slice [w0, w0 + chunk/16 + halo):
@@ -181,7 +189,9 @@ def _encode_packed(seq: np.ndarray, n: int, k: int, chunk: int):
     one)."""
     seq = np.asarray(seq, dtype=np.uint8)
     last_start = ((n - 1) // chunk) * chunk
-    need = last_start + chunk + 16 * _halo_words(k)
+    if halo_words is None:
+        halo_words = _halo_words(k)
+    need = last_start + chunk + 16 * halo_words
     from ntedit_tpu.io import native as _native
 
     enc = _native.encode_2bit(seq, need)
@@ -203,6 +213,55 @@ def _encode_packed(seq: np.ndarray, n: int, k: int, chunk: int):
     z &= np.uint32(255)
     packed8 = z.astype(np.uint8)
     return packed8.view("<u4"), exc
+
+
+# ---------------------------------------------------------------------------
+# Packed-draft device cache: repeated passes over the SAME draft (multi-mode
+# runs, bench repeats, gate+cand pass pairs) skip both the host 2-bit encode
+# and the host->device upload — on the tunneled link the upload alone is
+# ~2 s per 250 Mbp call.  Keyed by object identity plus a content
+# fingerprint (length + sampled bytes), so an in-place draft mutation
+# invalidates the entry.  Capacity 2 device arrays (drafts pack 16x, so a
+# 250 Mbp entry is ~63 MB of HBM).  NTEDIT_TPU_NO_PACK_CACHE=1 disables.
+# ---------------------------------------------------------------------------
+
+from collections import OrderedDict as _OrderedDict
+
+_PACK_CACHE: "dict" = _OrderedDict()
+_PACK_CACHE_CAP = 2
+
+
+def _fingerprint(seq: np.ndarray) -> tuple:
+    a = np.asarray(seq)
+    L = a.shape[0]
+    mid = L // 2
+    return (
+        L,
+        a[:64].tobytes(),
+        a[mid : mid + 64].tobytes(),
+        a[max(0, L - 64) :].tobytes(),
+    )
+
+
+def packed_device(seq: np.ndarray, n: int, k: int, chunk: int,
+                  halo_words: Optional[int] = None):
+    """(packed device words, exception positions) for one contig, cached."""
+    import os
+
+    if os.environ.get("NTEDIT_TPU_NO_PACK_CACHE") == "1":
+        packed_np, exc = _encode_packed(seq, n, k, chunk, halo_words)
+        return jnp.asarray(packed_np), exc
+    key = (id(seq), _fingerprint(seq), k, chunk, n, halo_words)
+    hit = _PACK_CACHE.get(key)
+    if hit is not None:
+        _PACK_CACHE.move_to_end(key)
+        return hit
+    packed_np, exc = _encode_packed(seq, n, k, chunk, halo_words)
+    entry = (jnp.asarray(packed_np), exc)
+    _PACK_CACHE[key] = entry
+    while len(_PACK_CACHE) > _PACK_CACHE_CAP:
+        _PACK_CACHE.popitem(last=False)
+    return entry
 
 
 def _exception_heads(exc: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -325,6 +384,196 @@ def _snv_cand_words_from_codes(packed, start_word, df: bloom.DeviceFilter,
     return (bts << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
 
 
+# ---------------------------------------------------------------------------
+# SNV batched site decision pass (VERDICT r4 #3)
+#
+# In SNV mode every head enters the fix path, so the "sparse repair"
+# premise collapses and the per-site host state machine dominates
+# (ntedit.cpp:1890-2062 with -s 1: confirmation scan + up to 4 alternate
+# verify scans PER BASE).  But SNV sites are also independent unless an
+# accepted edit lands within 2k (i = d = 0 — no indels, no rope changes,
+# ntedit.cpp:2411-2413), so the whole per-site computation moves on
+# device: for every CANDIDATE head (some alternate's changelast k-mer
+# present — the provably-complete record/edit precondition) the kernel
+# emits the confirmation check_there count, the 4 alternate pre-check
+# bits, and the 4 alternate verify counts.  The native engine then
+# consumes these rows verbatim at pristine sites (repair.cpp) — zero host
+# probes — and re-evaluates live only windows near edits / exceptions /
+# contig ends.  Bit-identity is by construction: the arbitration
+# (shuffle_best, baseline, trial order) still runs in the engine; only
+# the probe RESULTS are precomputed, and device probes are bit-identical
+# to host probes.
+#
+# Hash algebra: a verify window at roll kk (head h+1+kk) contains the
+# substituted tail position t = h+k-1 at window index i = k-2-kk, so its
+# edited hash is the PRISTINE window hash XOR srol^{k-1-i}(seed(d)^seed(b))
+# forward and XOR srol^{i}(cseed(d)^cseed(b)) reverse (srol is a bit
+# permutation, hence XOR-linear) — nthash_ref.py window conventions.  The
+# final roll kk = k-1 starts past t and probes the pristine window.
+# ---------------------------------------------------------------------------
+
+SNV_SITE_CAP = 1 << 15  # per-chunk candidate rows (overflow -> live probes)
+
+
+@partial(jax.jit, static_argnames=("k", "jump", "chunk"))
+def _snv_site_data_from_codes(packed, start_word, df: bloom.DeviceFilter,
+                              k: int, jump: int, chunk: int):
+    """One chunk of the SNV site-data pass.
+
+    Returns (cand_words u32 [chunk/32], count i32, idx i32 [CAP],
+    rows u8 [CAP, 6]) where rows[:, 0] = alternate pre-check bits (bit c =
+    contains(changelast(head -> "ACGT"[c]))), rows[:, 1] = check_there,
+    rows[:, 2 + c] = the verify count for alternate c.  Rows are computed
+    for the first CAP candidates in head order; `count` > CAP flags
+    overflow (host falls back to live probes for this chunk's sites)."""
+    from ntedit_tpu.core import nthash_ref as _ref
+    from ntedit_tpu.utils import u64
+
+    nw = chunk // 16 + _halo_words_snv(k)
+    words = jax.lax.dynamic_slice(packed, (start_word,), (nw,))
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :]
+    codes = ((words[:, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+    seqc = codes.reshape(-1)[: chunk + 2 * k - 1]
+    fh, rh = nt.window_hashes_codes(seqc, k)  # heads [chunk + k]
+    can = nt.canonical(fh, rh)
+    hashes = [can] if df.blocked else nt.extend(can, k, df.hash_num)
+    present = df.contains(hashes)             # pristine presence [chunk + k]
+
+    tail = seqc[k - 1 : k - 1 + chunk]
+    fseed, cseed = nt.code_seeds(tail)
+    csd = u64.srol_const(cseed, k - 1)
+    fh_head = (fh[0][:chunk], fh[1][:chunk])
+    rh_head = (rh[0][:chunk], rh[1][:chunk])
+    fh_x = u64.xor(fh_head, fseed)
+    rh_x = u64.xor(rh_head, csd)
+    pre = []
+    for b in b"ACGT":
+        sb = int(_ref.SEED_TAB[b])
+        csb = int(_ref.srol(_ref.SEED_TAB[b & nt.CP_OFF], k - 1))
+        fhb = (fh_x[0] ^ np.uint32(sb >> 32), fh_x[1] ^ np.uint32(sb & 0xFFFFFFFF))
+        rhb = (rh_x[0] ^ np.uint32(csb >> 32), rh_x[1] ^ np.uint32(csb & 0xFFFFFFFF))
+        cb = nt.canonical(fhb, rhb)
+        hb = [cb] if df.blocked else nt.extend(cb, k, df.hash_num)
+        pre.append(df.contains(hb))
+    cand = jnp.zeros(chunk, dtype=bool)
+    for ci in range(4):
+        cand = cand | ((tail != np.uint8(ci)) & pre[ci])
+    count = cand.sum(dtype=jnp.int32)
+    idx = jnp.nonzero(cand, size=SNV_SITE_CAP, fill_value=chunk - 1)[0].astype(
+        jnp.int32)
+
+    strides = [kk for kk in range(k) if kk % jump == 0]
+    sidx = jnp.stack([idx + 1 + kk for kk in strides])   # [S, CAP]
+    check_there = present[sidx].sum(axis=0).astype(jnp.int32)
+
+    tcode = tail[idx]
+    fs_i, cs_i = nt.code_seeds(tcode)
+    ver = []
+    for ci, b in enumerate(b"ACGT"):
+        sb = int(_ref.SEED_TAB[b])
+        csb = int(_ref.SEED_TAB[b & nt.CP_OFF])
+        dxf = (fs_i[0] ^ np.uint32(sb >> 32), fs_i[1] ^ np.uint32(sb & 0xFFFFFFFF))
+        dxr = (cs_i[0] ^ np.uint32(csb >> 32), cs_i[1] ^ np.uint32(csb & 0xFFFFFFFF))
+        cnt = jnp.zeros(idx.shape, jnp.int32)
+        for si, kk in enumerate(strides):
+            s = sidx[si]
+            if kk == k - 1:
+                # window starts past the substituted tail: pristine probe
+                cnt = cnt + present[s].astype(jnp.int32)
+                continue
+            df_e = u64.srol_const(dxf, kk + 1)
+            dr_e = u64.srol_const(dxr, k - 2 - kk)
+            fw = (fh[0][s] ^ df_e[0], fh[1][s] ^ df_e[1])
+            rv = (rh[0][s] ^ dr_e[0], rh[1][s] ^ dr_e[1])
+            cb = nt.canonical(fw, rv)
+            hb = [cb] if df.blocked else nt.extend(cb, k, df.hash_num)
+            cnt = cnt + df.contains(hb).astype(jnp.int32)
+        ver.append(cnt)
+
+    prebits = jnp.zeros(idx.shape, jnp.int32)
+    for ci in range(4):
+        prebits = prebits | (pre[ci][idx].astype(jnp.int32) << ci)
+    rows = jnp.stack(
+        [prebits, jnp.minimum(check_there, 255)]
+        + [jnp.minimum(v, 255) for v in ver], axis=1,
+    ).astype(jnp.uint8)
+
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    bts = cand.reshape(-1, 32).astype(jnp.uint32)
+    cand_words = (bts << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
+    return cand_words, count, idx, rows
+
+
+def snv_site_data(
+    seq: np.ndarray, df: bloom.DeviceFilter, jump: int,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Candidate positions + per-site decision rows for the SNV fast path.
+
+    Returns (cand_positions int64 [G], rows uint8 [G, 6]) parallel arrays:
+    rows[:, 0] = flags (bit0 = row valid; bits 1-4 = alternate pre-check
+    bits for A/C/G/T), rows[:, 1] = check_there, rows[:, 2+c] = verify
+    counts.  A row is valid only when the engine may consume it instead
+    of probing: the full 2k-window scan fits inside the contig
+    (h <= n-k-1) and touches no exception (non-ACGT) byte.  Invalid rows
+    (zero flags) make the engine probe live — superset-safe.  Caller
+    guarantees Polisher._snv_fast_eligible (non-counting filter, no
+    reject BF, mode != 2, mask off)."""
+    k = df.k
+    L = len(seq)
+    n = L - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 6), dtype=np.uint8)
+    chunk = _effective_chunk(n, chunk)
+    packed, exc = packed_device(seq, n, k, chunk,
+                                halo_words=_halo_words_snv(k))
+    outs = []
+    for start in range(0, n, chunk):
+        outs.append(_snv_site_data_from_codes(
+            packed, np.int32(start // 16), df, k, jump, chunk))
+    for out in outs:
+        for arr in out:
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+    iupac_heads, bad_heads = _exception_hints(seq, exc, n, k)
+    positions = []
+    site_pos = []
+    site_rows = []
+    for i, (cw, count, idx, rows) in enumerate(outs):
+        start = i * chunk
+        g = packed_to_positions(np.asarray(cw), min(chunk, n - start)) + start
+        positions.append(g)
+        c = int(count)
+        if c <= SNV_SITE_CAP:
+            p = np.asarray(idx)[:c].astype(np.int64) + start
+            keep = p < n
+            site_pos.append(p[keep])
+            site_rows.append(np.asarray(rows)[:c][keep])
+    cand = (np.concatenate(positions) if positions
+            else np.zeros(0, dtype=np.int64))
+    cand = _apply_exceptions(cand, iupac_heads, bad_heads)
+    rows_full = np.zeros((len(cand), 6), dtype=np.uint8)
+    if site_pos and len(cand):
+        sp = np.concatenate(site_pos)
+        sr = (np.concatenate(site_rows) if site_rows
+              else np.zeros((0, 6), np.uint8))
+        valid = sp <= (n - k - 1)  # full scan fits before the contig end
+        if len(exc):
+            lo = np.searchsorted(exc, sp)
+            hi = np.searchsorted(exc, sp + 2 * k - 1)
+            valid &= lo == hi     # no exception byte inside [h, h + 2k - 1)
+        slot = np.searchsorted(cand, sp)
+        ok = (slot < len(cand))
+        ok &= cand[np.minimum(slot, len(cand) - 1)] == sp
+        ok &= valid
+        tgt = slot[ok]
+        rows_full[tgt, 1:] = sr[ok, 1:]
+        rows_full[tgt, 0] = 1 | (sr[ok, 0] << 1)
+    return cand, rows_full
+
+
 @partial(jax.jit, static_argnames=("k", "chunk"))
 def _polish_cand_planes_from_codes(packed, start_word, df: bloom.DeviceFilter,
                                    k: int, chunk: int):
@@ -394,8 +643,7 @@ def polish_candidate_masks(
     if n <= 0 or len(gates) == 0:
         return np.zeros(len(gates), dtype=np.uint8)
     chunk = _effective_chunk(n, chunk)
-    packed_np, exc = _encode_packed(seq, n, k, chunk)
-    packed = jnp.asarray(packed_np)
+    packed, exc = packed_device(seq, n, k, chunk)
     outs = []
     for start in range(0, n, chunk):
         outs.append(_polish_cand_planes_from_codes(
@@ -453,8 +701,7 @@ def flag_contig_gates(
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
     chunk = _effective_chunk(n, chunk)
-    packed_np, exc = _encode_packed(seq, n, k, chunk)
-    packed = jnp.asarray(packed_np)
+    packed, exc = packed_device(seq, n, k, chunk)
     outs = []
     for start in range(0, n, chunk):
         outs.append(_gate_words_from_codes(
@@ -590,8 +837,7 @@ def snv_candidate_positions(
     if n <= 0:
         return np.zeros(0, dtype=np.int64)
     chunk = _effective_chunk(n, chunk)
-    packed_np, exc = _encode_packed(seq, n, k, chunk)
-    packed = jnp.asarray(packed_np)
+    packed, exc = packed_device(seq, n, k, chunk)
     outs = []
     for start in range(0, n, chunk):
         outs.append(_snv_cand_words_from_codes(
@@ -623,8 +869,7 @@ def iter_gate_chunks(
     if n <= 0:
         return
     chunk = _effective_chunk(n, chunk)
-    packed_np, exc = _encode_packed(seq, n, k, chunk)
-    packed = jnp.asarray(packed_np)
+    packed, exc = packed_device(seq, n, k, chunk)
     iupac_heads, bad_heads = _exception_hints(seq, exc, n, k)
     outs = []
     for start in range(0, n, chunk):

@@ -103,6 +103,11 @@ def get_lib():
     lib.ntr_polish_contig_cand.argtypes = (
         lib.ntr_polish_contig.argtypes + [ctypes.c_void_p]  # gate_cand
     )
+    lib.ntr_polish_contig_v2.restype = ctypes.c_int64
+    lib.ntr_polish_contig_v2.argtypes = (
+        lib.ntr_polish_contig.argtypes
+        + [ctypes.c_void_p, ctypes.c_void_p]  # gate_cand, site_rows
+    )
     _lib = lib
     return _lib
 
@@ -159,7 +164,8 @@ def _params_of(cfg: EngineConfig) -> _NtrParams:
 
 
 def _run_raw(lib, contig: np.ndarray, pristine: bytes, gates, bf_struct,
-             rep_struct, params, initial_caps=None, gate_cand=None):
+             rep_struct, params, initial_caps=None, gate_cand=None,
+             site_rows=None):
     """One ntr_polish_contig call with capacity retries.
 
     ``contig`` is modified in place (it may be a view into a shared
@@ -178,6 +184,10 @@ def _run_raw(lib, contig: np.ndarray, pristine: bytes, gates, bf_struct,
     if gate_cand is not None and gates is not None and len(gate_cand) == n_gates:
         gate_cand = np.ascontiguousarray(gate_cand, dtype=np.uint8)
         cand_ptr = gate_cand.ctypes.data_as(ctypes.c_void_p).value
+    rows_ptr = None
+    if site_rows is not None and gates is not None and len(site_rows) == n_gates:
+        site_rows = np.ascontiguousarray(site_rows, dtype=np.uint8)
+        rows_ptr = site_rows.ctypes.data_as(ctypes.c_void_p).value
     subs_cap = max(4096, L // 64)
     nodes_cap = max(4096, L // 64)
     if initial_caps is not None:  # capacity-retry test hook
@@ -202,7 +212,9 @@ def _run_raw(lib, contig: np.ndarray, pristine: bytes, gates, bf_struct,
             nodes_buf.ctypes.data_as(ctypes.c_void_p).value, nodes_cap,
             ctypes.byref(n_nodes),
         ]
-        if cand_ptr is not None:
+        if rows_ptr is not None:
+            rc = lib.ntr_polish_contig_v2(*args, cand_ptr, rows_ptr)
+        elif cand_ptr is not None:
             rc = lib.ntr_polish_contig_cand(*args, cand_ptr)
         else:
             rc = lib.ntr_polish_contig(*args)
@@ -271,6 +283,7 @@ def polish_contig_native(
     gate_hint: Optional[np.ndarray] = None,
     initial_caps: Optional[tuple] = None,
     gate_cand: Optional[np.ndarray] = None,
+    site_rows: Optional[np.ndarray] = None,
 ) -> Optional[ContigResult]:
     """Run the native engine on one contig.  Returns None when the native
     library or the filter layout is unavailable (caller falls back)."""
@@ -285,7 +298,8 @@ def polish_contig_native(
     seq_bytes = bytes(seq)
     contig = np.frombuffer(seq_bytes, dtype=np.uint8).copy()
     out = _run_raw(lib, contig, seq_bytes, gate_hint, bf_struct, rep_struct,
-                   params, initial_caps, gate_cand=gate_cand)
+                   params, initial_caps, gate_cand=gate_cand,
+                   site_rows=site_rows)
     if out is None:
         return None
     sb, nb = out
@@ -351,6 +365,7 @@ def polish_contig_segmented(
     threads: int = 4,
     allow_snv: bool = False,
     gate_cand: Optional[np.ndarray] = None,
+    site_rows: Optional[np.ndarray] = None,
 ) -> Optional[ContigResult]:
     """Parallel exact repair: independent gate-run segments in threads.
 
@@ -381,6 +396,8 @@ def polish_contig_segmented(
     gates = np.ascontiguousarray(gates, dtype=np.int64)
     if gate_cand is not None and len(gate_cand) != len(gates):
         gate_cand = None
+    if site_rows is not None and len(site_rows) != len(gates):
+        site_rows = None
     if len(gates) == 0:
         cells = RopeCells(L)
         return ContigResult(header, bytearray(seq_bytes), cells, [])
@@ -390,7 +407,7 @@ def polish_contig_segmented(
     idx_bounds, margin = _bucket_bounds(gates, L, cfg, n_buckets=4 * threads)
     if len(idx_bounds) == 1 or threads <= 1:
         out = _run_raw(lib, contig, seq_bytes, gates, bf_struct, rep_struct,
-                       params, gate_cand=gate_cand)
+                       params, gate_cand=gate_cand, site_rows=site_rows)
         if out is None:
             return None
         sb, nb = out
@@ -410,7 +427,8 @@ def polish_contig_segmented(
         lo = int(gates[i0])
         hi = int(min(L, gates[i1 - 1] + gap))
         seg_cand = gate_cand[i0:i1] if gate_cand is not None else None
-        jobs.append((lo, hi, gates[i0:i1], seg_cand))
+        seg_rows = site_rows[i0:i1] if site_rows is not None else None
+        jobs.append((lo, hi, gates[i0:i1], seg_cand, seg_rows))
     with ThreadPoolExecutor(max_workers=min(threads, len(jobs))) as ex:
         results = list(ex.map(lambda j: runner(*j), jobs))
     return _finish_segments(
@@ -424,11 +442,13 @@ def _seg_runner(lib, contig, seq_bytes, bf_struct, rep_struct, params, margin):
     arrays, "overflow" when activity reaches the right margin, or None on
     engine failure."""
 
-    def run(lo: int, hi: int, seg_gates_abs: np.ndarray, seg_cand=None):
+    def run(lo: int, hi: int, seg_gates_abs: np.ndarray, seg_cand=None,
+            seg_rows=None):
         view = contig[lo:hi]
         pristine = seq_bytes[lo:hi]
         out = _run_raw(lib, view, pristine, seg_gates_abs - lo, bf_struct,
-                       rep_struct, params, gate_cand=seg_cand)
+                       rep_struct, params, gate_cand=seg_cand,
+                       site_rows=seg_rows)
         if out is None:
             return None
         sb, nb = out

