@@ -992,40 +992,55 @@ struct Engine {
     // RESULTS are precomputed, and device probes are bit-identical to
     // host probes, so output matches the live path bit for bit
     // (tests/test_native_repair.py, tests/test_snv_device.py).
-    if (p.snv && site_rows && cand_gates && !counting() && !has_rep &&
-        p.mode != 2 && p.max_insertions == 0 && p.max_deletions == 0 &&
-        !p.mask && st.h.idx < rope.length && st.t.idx < rope.length &&
+    if (site_rows && cand_gates && !counting() && !has_rep &&
+        p.mode != 2 &&
+        (!p.snv || (p.max_insertions == 0 && p.max_deletions == 0 &&
+                    !p.mask)) &&
+        st.h.idx < rope.length && st.t.idx < rope.length &&
         st.h.node == st.t.node && rope.is_span(st.h)) {
       int64_t oh = rope.orig_at(st.h), ot = rope.orig_at(st.t);
-      if (ot - oh == (int64_t)k - 1 && oh > max_edit_orig) {
+      // pristine condition: window coordinates span exactly k-1 inside
+      // one span node, wholly past the last in-place write, AND (polish
+      // mode, where earlier indels split nodes) the node covers the full
+      // 2k lookahead — the scan is monotone, so content right of the
+      // tail inside the same span node is untouched original draft
+      bool reach_ok = p.snv || rope.nodes[st.h.node].e >= oh + 2 * k - 1;
+      if (ot - oh == (int64_t)k - 1 && oh > max_edit_orig && reach_ok) {
         const int64_t* lo =
             std::lower_bound(cand_gates, cand_gates + n_cand, oh);
         if (lo != cand_gates + n_cand && *lo == oh) {
           const uint8_t* row = site_rows + 6 * (lo - cand_gates);
           if (row[0] & 1) {
+            // row[1] = check_there (SNV: baseline support) or
+            //          check_missing (polish: attempt gate)
+            if (!p.snv && (double)row[1] < p.missing_needed)
+              return false;  // no attempt (oracle.py attempt gate)
             Best best;
-            int check_there_r = row[1];
-            if ((double)check_there_r >= p.present_needed) {
+            if (p.snv && (double)row[1] >= p.present_needed) {
               best.sub_base = draft_char;
-              best.support = check_there_r;
+              best.support = row[1];
             }
+            bool consumable = true;
             const std::string& alts = bases_tab[draft_char];
             for (char alt_ch : alts) {
               uint8_t sub_base = (uint8_t)alt_ch;
               int ci = sub_base == 'A' ? 0 : sub_base == 'C' ? 1
                        : sub_base == 'G' ? 2 : sub_base == 'T' ? 3 : -1;
-              if (ci < 0) continue;  // unreachable: valid rows are ACGT
+              if (ci < 0) { consumable = false; break; }  // defensive
               if (((row[0] >> (1 + ci)) & 1) == 0) continue;  // pre-check
               int check_present = row[2 + ci];
               if ((double)check_present >= p.present_needed) {
                 shuffle_best(best, sub_base, check_present);
                 continue;  // modes 0/1 skip indels after a qualifier
               }
-              // pre-check passed, verify failed: try_indels would run
-              // here, but max_insertions == max_deletions == 0 makes it
-              // an exact no-op (zero trial iterations, no state change)
+              // pre-check passed, verify failed: tryIndels triggers
+              // (ntedit.cpp:2065-2090).  SNV: i = d = 0 makes it an
+              // exact no-op.  Polish: bail to the live path (no state
+              // was committed — `best` is local)
+              if (!p.snv && best.type != 1) { consumable = false; break; }
             }
-            return make_edit(draft_char, best, st, fh, rh);
+            if (consumable)
+              return make_edit(draft_char, best, st, fh, rh);
           }
         }
       }
@@ -1276,9 +1291,32 @@ struct Engine {
         bf.prefetch(nth::canonical(spfh, sprh));
         ++ahead;
       }
-      uint64_t canon = nth::canonical(fh, rh);
-      bool gate = p.snv || !bf.contains(canon) ||
-                  (counting() && bf.count_of(canon) < p.min_threshold);
+      // Hint trust: at a hinted head whose window is provably the
+      // pristine draft (same-span k-1 coordinate run past the last
+      // in-place write) and whose row carries the "device-exact gate"
+      // bit (flags bit 5 — set for device-derived gates, NOT for the
+      // exception-patched superset heads), the device probe already
+      // proved the gate fires; re-probing is a guaranteed DRAM miss
+      // for the same bit.  Device probes are bit-identical to host
+      // probes, so the skip cannot change output.
+      bool gate;
+      bool trusted = false;
+      if (site_rows && !p.snv && !counting() && hint_i < n_gates &&
+          gates[hint_i] == st.h_seq && (site_rows[6 * hint_i] & 32) &&
+          st.h.idx < rope.length && st.t.idx < rope.length &&
+          st.h.node == st.t.node && rope.is_span(st.h)) {
+        int64_t oh2 = rope.orig_at(st.h);
+        if (rope.orig_at(st.t) - oh2 == (int64_t)k - 1 &&
+            oh2 > max_edit_orig) {
+          gate = true;
+          trusted = true;
+        }
+      }
+      if (!trusted) {
+        uint64_t canon = nth::canonical(fh, rh);
+        gate = p.snv || !bf.contains(canon) ||
+               (counting() && bf.count_of(canon) < p.min_threshold);
+      }
       if (gate) {
         uint8_t draft_char = upper(rope.char_at(st.t));
         if (fix_site(draft_char, st, fh, rh)) {

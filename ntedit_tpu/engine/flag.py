@@ -167,10 +167,11 @@ def _effective_chunk(n: int, chunk: int) -> int:
 
 
 def _halo_words_snv(k: int) -> int:
-    """Halo for the SNV site-data pass: window hashes are needed for heads
+    """Halo for the site-data passes: window hashes are needed for heads
     up to chunk-1+k (the confirmation/verify scans roll k windows past a
-    head), so the decode must cover chunk + 2k - 2 bases."""
-    return (2 * k - 3) // 16 + 1
+    head), so the decode must cover chunk + 2k - 1 bases —
+    ceil((2k-1)/16) halo words."""
+    return (2 * k - 2) // 16 + 1
 
 
 def _encode_packed(seq: np.ndarray, n: int, k: int, chunk: int,
@@ -412,7 +413,7 @@ def _snv_cand_words_from_codes(packed, start_word, df: bloom.DeviceFilter,
 # final roll kk = k-1 starts past t and probes the pristine window.
 # ---------------------------------------------------------------------------
 
-SNV_SITE_CAP = 1 << 15  # per-chunk candidate rows (overflow -> live probes)
+SNV_SITE_CAP = 1 << 14  # per-chunk candidate rows (overflow -> live probes)
 
 
 @partial(jax.jit, static_argnames=("k", "jump", "chunk"))
@@ -498,10 +499,263 @@ def _snv_site_data_from_codes(packed, start_word, df: bloom.DeviceFilter,
         + [jnp.minimum(v, 255) for v in ver], axis=1,
     ).astype(jnp.uint8)
 
+    # candidate bitmap, compacted (nonzero words + values): candidates
+    # are ~0.1-0.5% of heads, so this cuts the D2H readback ~30x on the
+    # bandwidth-limited tunnel
     lanes = jnp.arange(32, dtype=jnp.uint32)
     bts = cand.reshape(-1, 32).astype(jnp.uint32)
     cand_words = (bts << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
-    return cand_words, count, idx, rows
+    nz = cand_words != 0
+    nzw_count = nz.sum(dtype=jnp.int32)
+    nzw_idx = jnp.nonzero(nz, size=GATE_WORD_CAP, fill_value=0)[0].astype(
+        jnp.int32)
+    nzw_val = jnp.where(
+        jnp.arange(GATE_WORD_CAP) < nzw_count, cand_words[nzw_idx],
+        np.uint32(0))
+    return _fuse_site_out(nzw_count, nzw_idx, nzw_val, count, idx, rows)
+
+
+# Polish analog of the SNV site pass.  The dense gate pass already finds
+# the ~k gated heads around each error; the heavy per-site host work
+# (confirmation scan + substitution pre-checks + verify scans, 25-30
+# random DRAM probes per site) happens only at the FIRST gated head of
+# each cluster — later heads are re-evaluated against edited content and
+# are cheap single probes.  So this kernel emits, per cluster-start head:
+# [flags, check_missing, verA..verT] rows the native engine consumes at
+# pristine windows (bailing to live probes the moment an indel trial
+# would trigger — rows shortcut pure-substitution decisions only, the
+# overwhelmingly common case).  The gate bitmap itself is returned
+# COMPACTED (nonzero words + values): gates cluster ~k consecutive bits,
+# so the compact form is ~14x smaller than the bitmap — the D2H link
+# (~10-25 MB/s tunneled) is the dense pass's second wall.
+
+POLISH_SITE_CAP = 1 << 14   # cluster-start rows per chunk (~5k seen at
+# demo error rates on 2^22-head chunks; overflow -> rows skipped, exact)
+GATE_WORD_CAP = 1 << 14     # nonzero cand words per chunk (SNV pass)
+
+
+def _fuse_sites(site_count, idx, rows):
+    """Fuse a chunk's per-site outputs into ONE int32 buffer (the
+    tunneled link is latency-bound, ~100 ms RTT — minimize readbacks).
+    Layout (S = len(idx)): [0]=site_count [1:1+S]=site_idx
+    [1+S:1+3S]=rows (u8 [S,8] bitcast)."""
+    rows8 = jnp.concatenate(
+        [rows, jnp.zeros((rows.shape[0], 2), jnp.uint8)], axis=1)
+    return jnp.concatenate([
+        site_count[None].astype(jnp.int32),
+        idx,
+        jax.lax.bitcast_convert_type(
+            rows8.reshape(-1, 4), jnp.int32).reshape(-1),
+    ])
+
+
+def _split_sites(buf: np.ndarray, S: int):
+    """Inverse of _fuse_sites on the host numpy buffer."""
+    site_count = int(buf[0])
+    idx = buf[1 : 1 + S]
+    rows = buf[1 + S :].view(np.uint8).reshape(S, 8)[:, :6]
+    return site_count, idx, rows
+
+
+def _fuse_site_out(nzw_count, nzw_idx, nzw_val, site_count, idx, rows):
+    """SNV variant: compact candidate words + sites in one buffer.
+    Layout (W = len(nzw_idx), S = len(idx)):
+    [0]=nzw_count [1]=site_count [2:2+W]=nzw_idx [2+W:2+2W]=nzw_val
+    [2+2W:2+2W+S]=site_idx [2+2W+S:2+2W+3S]=rows (u8 [S,8] bitcast)."""
+    rows8 = jnp.concatenate(
+        [rows, jnp.zeros((rows.shape[0], 2), jnp.uint8)], axis=1)
+    return jnp.concatenate([
+        jnp.stack([nzw_count, site_count]),
+        nzw_idx,
+        jax.lax.bitcast_convert_type(nzw_val, jnp.int32),
+        idx,
+        jax.lax.bitcast_convert_type(
+            rows8.reshape(-1, 4), jnp.int32).reshape(-1),
+    ])
+
+
+def _split_site_out(buf: np.ndarray, W: int, S: int):
+    """Inverse of _fuse_site_out on the host numpy buffer."""
+    nzw_count = int(buf[0])
+    site_count = int(buf[1])
+    nzw_idx = buf[2 : 2 + W]
+    nzw_val = buf[2 + W : 2 + 2 * W].view(np.uint32)
+    idx = buf[2 + 2 * W : 2 + 2 * W + S]
+    rows = buf[2 + 2 * W + S :].view(np.uint8).reshape(S, 8)[:, :6]
+    return nzw_count, nzw_idx, nzw_val, site_count, idx, rows
+
+
+def _positions_from_compact(widx: np.ndarray, wval: np.ndarray,
+                            n: int) -> np.ndarray:
+    """(nonzero word indices, word values) -> sorted bit positions < n."""
+    if not len(widx):
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(wval.view(np.uint8), bitorder="little").reshape(-1, 32)
+    r, c = np.nonzero(bits)
+    g = widx.astype(np.int64)[r] * 32 + c
+    return g[g < n]
+
+
+@partial(jax.jit, static_argnames=("k", "jump", "chunk"))
+def _polish_site_data_from_codes(packed, start_word, df: bloom.DeviceFilter,
+                                 k: int, jump: int, chunk: int):
+    """One chunk of the polish site-data pass (non-counting filters).
+
+    Returns (nzw_idx i32 [WCAP], nzw_val u32 [WCAP], nzw_count i32,
+    site_idx i32 [SCAP], rows u8 [SCAP, 6], site_count i32) where rows =
+    [pre bits, check_missing, verA, verC, verG, verT] for cluster-start
+    heads (gated head whose previous head is not gated)."""
+    from ntedit_tpu.core import nthash_ref as _ref
+    from ntedit_tpu.utils import u64
+
+    nw = chunk // 16 + _halo_words_snv(k)
+    words = jax.lax.dynamic_slice(packed, (start_word,), (nw,))
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :]
+    codes = ((words[:, None] >> shifts) & jnp.uint32(3)).astype(jnp.uint8)
+    seqc = codes.reshape(-1)[: chunk + 2 * k - 1]
+    fh, rh = nt.window_hashes_codes(seqc, k)  # heads [chunk + k]
+    can = nt.canonical(fh, rh)
+    hashes = [can] if df.blocked else nt.extend(can, k, df.hash_num)
+    present = df.contains(hashes)             # pristine presence [chunk + k]
+
+    gate = ~present[:chunk]
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    gw = (gate.reshape(-1, 32).astype(jnp.uint32)
+          << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
+    # the gate bitmap ships whole: at realistic error rates ~3% of heads
+    # gate (each error gates ~k windows), so a capped nonzero-word
+    # compaction overflows while the bitmap is already only chunk/8 bytes
+
+    prev_present = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), present[: chunk - 1]])
+    cs = gate & prev_present  # cluster starts (chunk head 0: emit, safe)
+    site_count = cs.sum(dtype=jnp.int32)
+    idx = jnp.nonzero(cs, size=POLISH_SITE_CAP, fill_value=chunk - 1)[0].astype(
+        jnp.int32)
+
+    strides = [kk for kk in range(k) if kk % jump == 0]
+    sidx = jnp.stack([idx + 1 + kk for kk in strides])   # [S, CAP]
+    check_missing = (~present[sidx]).sum(axis=0).astype(jnp.int32)
+
+    # sparse changelast pre-checks + verify counts at the site heads
+    tail = seqc[k - 1 : k - 1 + chunk]
+    tcode = tail[idx]
+    fs_i, cs_i = nt.code_seeds(tcode)
+    fh_i = (fh[0][idx], fh[1][idx])
+    rh_i = (rh[0][idx], rh[1][idx])
+    csd_i = u64.srol_const(cs_i, k - 1)
+    fh_x = u64.xor(fh_i, fs_i)
+    rh_x = u64.xor(rh_i, csd_i)
+    pre_bits = jnp.zeros(idx.shape, jnp.int32)
+    ver = []
+    for ci, b in enumerate(b"ACGT"):
+        sb = int(_ref.SEED_TAB[b])
+        csb_k1 = int(_ref.srol(_ref.SEED_TAB[b & nt.CP_OFF], k - 1))
+        fhb = (fh_x[0] ^ np.uint32(sb >> 32), fh_x[1] ^ np.uint32(sb & 0xFFFFFFFF))
+        rhb = (rh_x[0] ^ np.uint32(csb_k1 >> 32),
+               rh_x[1] ^ np.uint32(csb_k1 & 0xFFFFFFFF))
+        cb = nt.canonical(fhb, rhb)
+        hb = [cb] if df.blocked else nt.extend(cb, k, df.hash_num)
+        pre_bits = pre_bits | (df.contains(hb).astype(jnp.int32) << ci)
+        csb = int(_ref.SEED_TAB[b & nt.CP_OFF])
+        dxf = (fs_i[0] ^ np.uint32(sb >> 32), fs_i[1] ^ np.uint32(sb & 0xFFFFFFFF))
+        dxr = (cs_i[0] ^ np.uint32(csb >> 32), cs_i[1] ^ np.uint32(csb & 0xFFFFFFFF))
+        cnt = jnp.zeros(idx.shape, jnp.int32)
+        for si, kk in enumerate(strides):
+            s = sidx[si]
+            if kk == k - 1:
+                cnt = cnt + present[s].astype(jnp.int32)
+                continue
+            df_e = u64.srol_const(dxf, kk + 1)
+            dr_e = u64.srol_const(dxr, k - 2 - kk)
+            fw = (fh[0][s] ^ df_e[0], fh[1][s] ^ df_e[1])
+            rv = (rh[0][s] ^ dr_e[0], rh[1][s] ^ dr_e[1])
+            cb2 = nt.canonical(fw, rv)
+            hb2 = [cb2] if df.blocked else nt.extend(cb2, k, df.hash_num)
+            cnt = cnt + df.contains(hb2).astype(jnp.int32)
+        ver.append(cnt)
+
+    rows = jnp.stack(
+        [pre_bits, jnp.minimum(check_missing, 255)]
+        + [jnp.minimum(v, 255) for v in ver], axis=1,
+    ).astype(jnp.uint8)
+    return gw, _fuse_sites(site_count, idx, rows)
+
+
+def iter_polish_site_chunks(
+    seq: np.ndarray, df: bloom.DeviceFilter, jump: int,
+    chunk: int = DEFAULT_CHUNK,
+):
+    """Streamed polish dense pass with per-site decision rows: yields
+    (frontier, gates, rows) with rows uint8 [len(gates), 6] parallel to
+    gates — flags bit0 marks engine-consumable rows (cluster-start head,
+    full 2k scan in-contig, no exception bytes; flag.snv_site_data
+    validity rules).  Heads without rows carry zero flags and are probed
+    live.  All chunk programs dispatch up front (async); readbacks drain
+    in order so repair overlaps later chunks' compute."""
+    k = df.k
+    L = len(seq)
+    n = L - k + 1
+    if n <= 0:
+        return
+    chunk = _effective_chunk(n, chunk)
+    packed, exc = packed_device(seq, n, k, chunk,
+                                halo_words=_halo_words_snv(k))
+    outs = []
+    for start in range(0, n, chunk):
+        outs.append(_polish_site_data_from_codes(
+            packed, np.int32(start // 16), df, k, jump, chunk))
+    for gw, sbuf in outs:
+        for arr in (gw, sbuf):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+    iupac_heads, bad_heads = _exception_hints(seq, exc, n, k)
+    for i, (gw, sbuf) in enumerate(outs):
+        start = i * chunk
+        end = min(start + chunk, n)
+        if start >= n:
+            break
+        g = packed_to_positions(np.asarray(gw), end - start) + start
+        sc, idx, rows = _split_sites(np.asarray(sbuf), POLISH_SITE_CAP)
+        if bad_heads.size:
+            lo, hi = np.searchsorted(bad_heads, (start, end))
+            g = np.setdiff1d(g, bad_heads[lo:hi], assume_unique=True)
+        if iupac_heads.size:
+            lo, hi = np.searchsorted(iupac_heads, (start, end))
+            g = _merge_heads(g, iupac_heads[lo:hi])
+        rows_full = np.zeros((len(g), 6), dtype=np.uint8)
+        # flags bit 5 = "device-exact gate": the head came from the
+        # device's compact gate words (bit-identical probes), not from
+        # the exception-patched superset — the engine may skip its live
+        # gate re-probe at pristine windows (repair.cpp hint trust)
+        if len(g):
+            exact = np.ones(len(g), dtype=bool)
+            if iupac_heads.size:
+                lo, hi = np.searchsorted(iupac_heads, (start, end))
+                if hi > lo:
+                    exact &= ~np.isin(g, iupac_heads[lo:hi],
+                                      assume_unique=True)
+            rows_full[exact, 0] |= 32
+        if sc <= POLISH_SITE_CAP and len(g):
+            sp = idx[:sc].astype(np.int64) + start
+            sr = rows[:sc]
+            keep = sp < n
+            sp, sr = sp[keep], sr[keep]
+            valid = sp <= (n - k - 1)
+            if len(exc):
+                lo = np.searchsorted(exc, sp)
+                hi = np.searchsorted(exc, sp + 2 * k - 1)
+                valid &= lo == hi
+            slot = np.searchsorted(g, sp)
+            ok = slot < len(g)
+            ok &= g[np.minimum(slot, len(g) - 1)] == sp
+            ok &= valid
+            tgt = slot[ok]
+            rows_full[tgt, 1:] = sr[ok, 1:]
+            rows_full[tgt, 0] |= 1 | (sr[ok, 0] << 1)  # keep bit 5
+        yield end, g, rows_full
 
 
 def snv_site_data(
@@ -532,25 +786,32 @@ def snv_site_data(
         outs.append(_snv_site_data_from_codes(
             packed, np.int32(start // 16), df, k, jump, chunk))
     for out in outs:
-        for arr in out:
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
     iupac_heads, bad_heads = _exception_hints(seq, exc, n, k)
     positions = []
     site_pos = []
     site_rows = []
-    for i, (cw, count, idx, rows) in enumerate(outs):
+    for i, out in enumerate(outs):
         start = i * chunk
-        g = packed_to_positions(np.asarray(cw), min(chunk, n - start)) + start
+        end = min(n, start + chunk)
+        wc, nzw_idx, nzw_val, c, idx, rows = _split_site_out(
+            np.asarray(out), GATE_WORD_CAP, SNV_SITE_CAP)
+        if wc <= GATE_WORD_CAP:
+            g = _positions_from_compact(
+                nzw_idx[:wc], nzw_val[:wc], end - start) + start
+        else:  # pathological density: full bitmap for this chunk
+            w = np.asarray(_snv_cand_words_from_codes(
+                packed, np.int32(start // 16), df, k, chunk))
+            g = packed_to_positions(w, end - start) + start
         positions.append(g)
-        c = int(count)
         if c <= SNV_SITE_CAP:
-            p = np.asarray(idx)[:c].astype(np.int64) + start
+            p = idx[:c].astype(np.int64) + start
             keep = p < n
             site_pos.append(p[keep])
-            site_rows.append(np.asarray(rows)[:c][keep])
+            site_rows.append(rows[:c][keep])
     cand = (np.concatenate(positions) if positions
             else np.zeros(0, dtype=np.int64))
     cand = _apply_exceptions(cand, iupac_heads, bad_heads)

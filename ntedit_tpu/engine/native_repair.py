@@ -522,11 +522,13 @@ def polish_contig_pipelined(
 ) -> Optional[ContigResult]:
     """Segmented repair overlapped with the streaming dense pass.
 
-    ``gate_chunks`` yields (frontier, abs_gates) with every head <
-    frontier final (engine.flag.iter_gate_chunks).  Segments whose closing
-    quiet gap is confirmed are submitted to the repair pool immediately,
-    so the host repairs chunk i while the device still computes chunk
-    i+1's gates.  Output is identical to the sequential scan (same
+    ``gate_chunks`` yields (frontier, abs_gates) — or (frontier,
+    abs_gates, site_rows) with uint8 [len(gates), 6] device-precomputed
+    decision rows parallel to the gates (flag.iter_polish_site_chunks) —
+    with every head < frontier final.  Segments whose closing quiet gap
+    is confirmed are submitted to the repair pool immediately, so the
+    host repairs chunk i while the device still computes chunk i+1's
+    gates.  Output is identical to the sequential scan (same
     segment/overflow machinery as polish_contig_segmented).
 
     ``collect_gates``: optional list the consumed gate arrays are appended
@@ -555,7 +557,9 @@ def polish_contig_pipelined(
     # thread stay in flight against typical gate densities
     bucket_budget = 16384
     gbuf = np.empty(0, dtype=np.int64)  # gates not yet assigned to a segment
+    rbuf = None                         # parallel site-row buffer (or None)
     bucket = []                         # closed gate groups awaiting submit
+    bucket_rows = []
     bucket_n = 0
     chunks = []                         # all gate arrays (fallback replay)
     bounds = []
@@ -563,22 +567,39 @@ def polish_contig_pipelined(
     with ThreadPoolExecutor(max_workers=max(1, threads)) as ex:
 
         def submit_bucket():
-            nonlocal bucket, bucket_n
+            nonlocal bucket, bucket_rows, bucket_n
             if not bucket:
                 return
             bgates = np.concatenate(bucket)
+            if any(r is not None for r in bucket_rows):
+                brows = np.concatenate([
+                    r if r is not None else np.zeros((len(gr), 6), np.uint8)
+                    for gr, r in zip(bucket, bucket_rows)
+                ])
+            else:
+                brows = None
             lo = int(bgates[0])
             hi = int(min(L, bgates[-1] + gap))
             bounds.append((lo, hi))
-            futures.append(ex.submit(runner, lo, hi, bgates))
+            futures.append(ex.submit(runner, lo, hi, bgates, None, brows))
             bucket = []
+            bucket_rows = []
             bucket_n = 0
 
-        for frontier, g in gate_chunks:
+        for item in gate_chunks:
+            frontier, g = item[0], item[1]
+            rows = item[2] if len(item) > 2 else None
             chunks.append(np.asarray(g, dtype=np.int64))
             if collect_gates is not None:
                 collect_gates.append(chunks[-1])
+            prev_n = len(gbuf)
             gbuf = np.concatenate([gbuf, chunks[-1]])
+            if rows is not None or rbuf is not None:
+                if rbuf is None:
+                    rbuf = np.zeros((prev_n, 6), dtype=np.uint8)
+                if rows is None:
+                    rows = np.zeros((len(g), 6), dtype=np.uint8)
+                rbuf = np.concatenate([rbuf, rows])
             if not len(gbuf):
                 continue
             # close every group whose trailing quiet gap is confirmed:
@@ -586,20 +607,30 @@ def polish_contig_pipelined(
             # before the next group's first gate
             splits = np.nonzero(np.diff(gbuf) > gap)[0] + 1
             groups = np.split(gbuf, splits)
+            rgroups = (np.split(rbuf, splits) if rbuf is not None
+                       else [None] * len(groups))
             closed = list(groups[:-1])
+            closed_r = list(rgroups[:-1])
             last = groups[-1]
             if len(last) and int(last[-1]) + gap < frontier:
                 closed.append(last)
+                closed_r.append(rgroups[-1])
                 gbuf = np.empty(0, dtype=np.int64)
+                if rbuf is not None:
+                    rbuf = np.zeros((0, 6), dtype=np.uint8)
             else:
                 gbuf = last
-            for grp in closed:
+                if rbuf is not None:
+                    rbuf = rgroups[-1]
+            for grp, rgrp in zip(closed, closed_r):
                 bucket.append(grp)
+                bucket_rows.append(rgrp)
                 bucket_n += len(grp)
                 if bucket_n >= bucket_budget:
                     submit_bucket()
         if len(gbuf):
             bucket.append(gbuf)
+            bucket_rows.append(rbuf)
         submit_bucket()
         results = [f.result() for f in futures]
 

@@ -157,17 +157,33 @@ class Polisher:
         hint = None
         if self.engine == "pipelined" and not self.cfg.snv:
             # production path: streaming dense pass overlapped with the
-            # threaded segment repair (no upfront full gate pass)
+            # threaded segment repair (no upfront full gate pass).  For
+            # plain-filter configs the stream also carries device-
+            # precomputed per-site decision rows (cluster-start heads:
+            # confirmation check_missing + alternate pre bits + verify
+            # counts — flag.iter_polish_site_chunks) that the engine
+            # consumes at pristine windows instead of probing; sites
+            # whose decision would enter the indel trials fall back to
+            # live probes inside the engine, so output is bit-identical
             from ntedit_tpu.engine import native_repair
 
             streamed = []
-            res = native_repair.polish_contig_pipelined(
-                self.oracle.bloom, self.oracle.bloomrep, self.cfg,
-                header, seq,
+            rows_ok = (
+                self.df is not None and not self.df.counting
+                and self.bloomrep is None and self.cfg.mode != 2
+            )
+            stream = (
+                flag.iter_polish_site_chunks(
+                    seq, self.df, self.cfg.jump, chunk=self.chunk)
+                if rows_ok else
                 flag.iter_gate_chunks(
                     seq, self.df, snv=False,
                     min_threshold=self.cfg.min_threshold, chunk=self.chunk,
-                ),
+                )
+            )
+            res = native_repair.polish_contig_pipelined(
+                self.oracle.bloom, self.oracle.bloomrep, self.cfg,
+                header, seq, stream,
                 threads=self.cfg.threads,
                 collect_gates=streamed,
             )

@@ -415,6 +415,10 @@ def iter_sharded_gate_chunks(
     tiles, n, exc = _tile_packed(draft, chunk, k, group)
     iupac_heads, bad_heads = flag._exception_hints(draft, exc, n, k)
     bs = max(1, (1 << 22) // chunk)
+    # replicate the filter onto THIS mesh (an array committed to a
+    # different submesh — e.g. built on the full mesh, polished on N=3 —
+    # would fail shard_map's device check; a matching placement is a no-op)
+    filter_arr = jax.device_put(filter_arr, NamedSharding(mesh, P()))
     fn = _gate_group_fn(mesh, k, cfg.hash_num, nbits, cbytes, bool(snv),
                         cfg.min_threshold, blocked, counting, chunk, bs)
     outs = []
@@ -452,6 +456,7 @@ def sharded_polish(
     cfg,
     chunk: Optional[int] = None,
     threads: Optional[int] = None,
+    host_bloomrep=None,
 ):
     """End-to-end sharded polish of one contig.
 
@@ -502,7 +507,8 @@ def sharded_polish(
         # (plain filter, no reject BF, mode != 2, mask off) — the
         # reference's marquee large-scale mode (README.md:48-49) through
         # the sharded pass (ntedit.cpp:1890-1914, 2411-2420)
-        eligible = (not counting and cfg.mode != 2 and not cfg.mask)
+        eligible = (not counting and cfg.mode != 2 and not cfg.mask
+                    and host_bloomrep is None)
         if eligible:
             tiles, n_heads = tile_contig(draft, chunk or 512, k,
                                          n_tiles_multiple=D)
@@ -523,12 +529,18 @@ def sharded_polish(
                     np.frombuffer(bytes(draft), np.uint8),
                     gate_hint=cand_all,
                 )
+        elif cfg.snv:
+            # ineligible SNV configs (CBF band, reject BF, mode 2, mask):
+            # exact sequential path on the full head set
+            res = Oracle(host_bf, host_bloomrep, cfg).polish_contig(
+                header, bytes(draft))
         if res is not None:
             return res
 
     use_cand = (
         os.environ.get("NTEDIT_TPU_CAND") == "1"
         and not cfg.snv and not counting and cfg.mode != 2
+        and host_bloomrep is None
         and native_repair.available()
     )
     if not cfg.snv and not use_cand and native_repair.available():
@@ -540,7 +552,7 @@ def sharded_polish(
         )
         streamed: list = []
         res = native_repair.polish_contig_pipelined(
-            host_bf, None, cfg, header, draft, stream,
+            host_bf, host_bloomrep, cfg, header, draft, stream,
             threads=threads, collect_gates=streamed,
         )
         if res is not None:
@@ -571,11 +583,11 @@ def sharded_polish(
             planes = pw.transpose(1, 0, 2).reshape(5, -1)
             cand = flag.cand_masks_from_planes(planes, gates)
         res = native_repair.polish_contig_segmented(
-            host_bf, None, cfg, header, bytes(draft), gates, threads=threads,
-            gate_cand=cand,
+            host_bf, host_bloomrep, cfg, header, bytes(draft), gates,
+            threads=threads, gate_cand=cand,
         )
     if res is None:  # native lib unavailable or SNV: exact sequential path
-        res = Oracle(host_bf, None, cfg).polish_contig(
+        res = Oracle(host_bf, host_bloomrep, cfg).polish_contig(
             header, bytes(draft), gate_hint=gates
         )
     return res

@@ -191,3 +191,29 @@ def test_device_pipeline_k52():
     fast = Polisher(bf, cfg=cfg, chunk=8192).polish_contig("c", draft)
     slow = Oracle(bf, None, cfg).polish_contig("c", bytes(draft))
     assert fast.edited == slow.edited and fast.subs == slow.subs
+
+
+def test_site_rows_indel_rich_corpus():
+    """Device polish site rows (flag.iter_polish_site_chunks) on an
+    indel-heavy corpus: most sites trigger the engine's bail-to-live
+    condition (a pre-passing alternate fails verify before any
+    qualifier -> tryIndels), the rest consume rows — output must equal
+    the oracle either way, and the indels must still be repaired."""
+    truth = simulate.random_genome(40000, seed=90)
+    draft, edits = simulate.inject_errors(
+        truth, sub_rate=1e-3, ins_rate=2e-3, del_rate=2e-3, seed=91)
+    bf = simulate.truth_bf(truth, 25)
+    res = assert_equivalent(draft, bf)
+    assert res.edited == truth.tobytes()
+    assert sum(1 for e in edits if e[1] != "sub") >= 50  # indels dominated
+
+
+def test_site_rows_weak_filter_type0_sites():
+    """Sites where NO alternate qualifies (truncated-truth filter): rows
+    resolve to type-0 no-ops without probing; with -a 1 the same rows
+    drive the soft-mask write.  Byte-identical to the oracle."""
+    truth = simulate.random_genome(24000, seed=92)
+    draft, _ = simulate.inject_errors(truth, sub_rate=3e-3, seed=93)
+    bf = simulate.truth_bf(truth[:18000], 25)  # tail unfixable
+    assert_equivalent(draft, bf)
+    assert_equivalent(draft, bf, mask=True)

@@ -176,3 +176,42 @@ def test_snv_rows_blocked_filter():
     cfg = EngineConfig(k=K, hash_num=H, snv=True)
     pol = Polisher(bbf, None, cfg)
     _assert_equal(pol, cfg, bbf, truth)
+
+
+def test_snv_rows_chunk_boundary_heads():
+    """Regression: heads at the very end of a device chunk probe windows
+    up to h+k past the chunk — the halo must cover chunk + 2k - 1 bases
+    (an earlier halo was one base short, clipping the final gather).
+    Variants are planted so candidate heads land exactly on the last
+    heads of a 2^15 chunk."""
+    chunk = 1 << 15
+    truth = simulate.random_genome(3 * chunk + 2000, seed=21)
+    # tails at chunk-1 + K-1 and neighbors => candidate heads at the
+    # chunk boundary region
+    sites = [chunk - 1 + K - 1, chunk + K - 2, 2 * chunk - 1 + K - 1,
+             2 * chunk + 5]
+    bf = _snv_filter(truth, sites, seed=22)
+    cfg = EngineConfig(k=K, hash_num=H, snv=True)
+    pol = Polisher(bf, None, cfg, chunk=chunk)
+    want = _assert_equal(pol, cfg, bf, truth)
+    # the engineered variants must actually produce records
+    assert len(want.subs) >= 2
+    # and the device rows at those heads must match scalar recomputation
+    df = bloom.DeviceFilter.from_host(bf)
+    cand, rows = flag.snv_site_data(truth, df, cfg.jump, chunk=chunk)
+    strides = [kk for kk in range(K) if kk % cfg.jump == 0]
+    n = len(truth) - K + 1
+    for h in (chunk - 1, chunk, 2 * chunk - 1):
+        gi = np.searchsorted(cand, h)
+        if gi >= len(cand) or cand[gi] != h:
+            continue
+        r = rows[gi]
+        if not (r[0] & 1):
+            continue
+        ct = 0
+        for kk in strides:
+            w = truth[h + 1 + kk : h + 1 + kk + K]
+            hv = nh.extend_hashes(nh.canonical(
+                nh.base_forward_hash(w, K), nh.base_reverse_hash(w, K)), K, H)
+            ct += int(bf.contains_hashes(hv[None])[0])
+        assert ct == r[1], (h, ct, r[1])
