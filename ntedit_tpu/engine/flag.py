@@ -413,7 +413,13 @@ def _snv_cand_words_from_codes(packed, start_word, df: bloom.DeviceFilter,
 # final roll kk = k-1 starts past t and probes the pristine window.
 # ---------------------------------------------------------------------------
 
-SNV_SITE_CAP = 1 << 14  # per-chunk candidate rows (overflow -> live probes)
+SNV_SITE_CAP = 1 << 16  # per-chunk candidate rows: SNV candidates are
+# FPR-driven (~3x the filter FPR of heads, ~0.8% on a 0.91-occupancy
+# blocked filter = ~34k per 2^22-head chunk); an overflow drops the rows
+# AND the repair falls back to full live site evaluations, which
+# measured 2x the whole SNV wall — so this cap must clear realistic
+# densities with margin (overflow stays graceful/exact)
+SNV_WORD_CAP = 1 << 15  # nonzero cand words per chunk (same sizing logic)
 
 
 @partial(jax.jit, static_argnames=("k", "jump", "chunk"))
@@ -507,10 +513,10 @@ def _snv_site_data_from_codes(packed, start_word, df: bloom.DeviceFilter,
     cand_words = (bts << lanes[None, :]).sum(axis=1, dtype=jnp.uint32)
     nz = cand_words != 0
     nzw_count = nz.sum(dtype=jnp.int32)
-    nzw_idx = jnp.nonzero(nz, size=GATE_WORD_CAP, fill_value=0)[0].astype(
+    nzw_idx = jnp.nonzero(nz, size=SNV_WORD_CAP, fill_value=0)[0].astype(
         jnp.int32)
     nzw_val = jnp.where(
-        jnp.arange(GATE_WORD_CAP) < nzw_count, cand_words[nzw_idx],
+        jnp.arange(SNV_WORD_CAP) < nzw_count, cand_words[nzw_idx],
         np.uint32(0))
     return _fuse_site_out(nzw_count, nzw_idx, nzw_val, count, idx, rows)
 
@@ -798,8 +804,8 @@ def snv_site_data(
         start = i * chunk
         end = min(n, start + chunk)
         wc, nzw_idx, nzw_val, c, idx, rows = _split_site_out(
-            np.asarray(out), GATE_WORD_CAP, SNV_SITE_CAP)
-        if wc <= GATE_WORD_CAP:
+            np.asarray(out), SNV_WORD_CAP, SNV_SITE_CAP)
+        if wc <= SNV_WORD_CAP:
             g = _positions_from_compact(
                 nzw_idx[:wc], nzw_val[:wc], end - start) + start
         else:  # pathological density: full bitmap for this chunk

@@ -157,20 +157,31 @@ class Polisher:
         hint = None
         if self.engine == "pipelined" and not self.cfg.snv:
             # production path: streaming dense pass overlapped with the
-            # threaded segment repair (no upfront full gate pass).  For
-            # plain-filter configs the stream also carries device-
+            # threaded segment repair (no upfront full gate pass).  With
+            # NTEDIT_TPU_SITE_ROWS=1 the stream also carries device-
             # precomputed per-site decision rows (cluster-start heads:
             # confirmation check_missing + alternate pre bits + verify
             # counts — flag.iter_polish_site_chunks) that the engine
             # consumes at pristine windows instead of probing; sites
             # whose decision would enter the indel trials fall back to
-            # live probes inside the engine, so output is bit-identical
+            # live probes inside the engine, so output is bit-identical.
+            # OPT-IN: measured on the tunneled chip at 250 Mbp the
+            # combined kernel costs ~48 ms/chunk more on the dense side
+            # (extra readback + on-device compaction) while the rows
+            # save ~1.3 s of the 4.2 s repair — a net loss single-chip
+            # here (6.1 s vs 8.9 s wall); the SNV path keeps rows ON
+            # (there every candidate is a full site evaluation and the
+            # measured win is ~2.8x).  On multi-chip meshes the dense
+            # cost divides by N and the trade flips.
             from ntedit_tpu.engine import native_repair
+
+            import os
 
             streamed = []
             rows_ok = (
                 self.df is not None and not self.df.counting
                 and self.bloomrep is None and self.cfg.mode != 2
+                and os.environ.get("NTEDIT_TPU_SITE_ROWS") == "1"
             )
             stream = (
                 flag.iter_polish_site_chunks(
@@ -200,18 +211,27 @@ class Polisher:
         ):
             # SNV fast path: positions where no alternate's k-mer is even
             # present are provably no-ops (no record, no edit), so the
-            # device-computed candidate set is an exact hint.  The same
-            # pass also precomputes each candidate's full decision inputs
-            # (confirmation check_there, alternate pre-check bits, verify
-            # counts — flag.snv_site_data); the native engine consumes
-            # the rows verbatim at pristine sites and probes live only
-            # near edits/exceptions/contig ends, so the per-site host
-            # state machine (the SNV wall, VERDICT r4 #3) costs ~zero
-            # probes while output stays bit-identical
+            # device-computed candidate set is an exact hint.  With
+            # NTEDIT_TPU_SITE_ROWS=1 the pass also precomputes each
+            # candidate's full decision inputs (confirmation check_there,
+            # alternate pre-check bits, verify counts — flag.snv_site_data)
+            # consumed verbatim by the engine at pristine sites.  OPT-IN:
+            # on the tunneled single chip the extra sparse compute +
+            # readback (~2x the cand pass wall at 250 Mbp) exceeds the
+            # ~0.7 s it saves the 5.9 s live repair — the candidate pass
+            # is gather-bound (4 changelast probes/head, measured exactly
+            # 4x the polish dense pass) and already the structural floor.
+            import os
+
             from ntedit_tpu.engine import native_repair
 
-            cand, rows = flag.snv_site_data(
-                seq, self.df, self.cfg.jump, chunk=self.chunk)
+            if os.environ.get("NTEDIT_TPU_SITE_ROWS") == "1":
+                cand, rows = flag.snv_site_data(
+                    seq, self.df, self.cfg.jump, chunk=self.chunk)
+            else:
+                cand = flag.snv_candidate_positions(
+                    seq, self.df, chunk=self.chunk)
+                rows = None
             res = None
             if self.cfg.threads > 1:
                 res = native_repair.polish_contig_segmented(

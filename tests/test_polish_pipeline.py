@@ -193,12 +193,14 @@ def test_device_pipeline_k52():
     assert fast.edited == slow.edited and fast.subs == slow.subs
 
 
-def test_site_rows_indel_rich_corpus():
-    """Device polish site rows (flag.iter_polish_site_chunks) on an
-    indel-heavy corpus: most sites trigger the engine's bail-to-live
-    condition (a pre-passing alternate fails verify before any
-    qualifier -> tryIndels), the rest consume rows — output must equal
-    the oracle either way, and the indels must still be repaired."""
+def test_site_rows_indel_rich_corpus(monkeypatch):
+    """Device polish site rows (flag.iter_polish_site_chunks, opt-in via
+    NTEDIT_TPU_SITE_ROWS=1) on an indel-heavy corpus: most sites trigger
+    the engine's bail-to-live condition (a pre-passing alternate fails
+    verify before any qualifier -> tryIndels), the rest consume rows —
+    output must equal the oracle either way, and the indels must still
+    be repaired."""
+    monkeypatch.setenv("NTEDIT_TPU_SITE_ROWS", "1")
     truth = simulate.random_genome(40000, seed=90)
     draft, edits = simulate.inject_errors(
         truth, sub_rate=1e-3, ins_rate=2e-3, del_rate=2e-3, seed=91)
@@ -208,12 +210,31 @@ def test_site_rows_indel_rich_corpus():
     assert sum(1 for e in edits if e[1] != "sub") >= 50  # indels dominated
 
 
-def test_site_rows_weak_filter_type0_sites():
+def test_site_rows_weak_filter_type0_sites(monkeypatch):
     """Sites where NO alternate qualifies (truncated-truth filter): rows
     resolve to type-0 no-ops without probing; with -a 1 the same rows
     drive the soft-mask write.  Byte-identical to the oracle."""
+    monkeypatch.setenv("NTEDIT_TPU_SITE_ROWS", "1")
     truth = simulate.random_genome(24000, seed=92)
     draft, _ = simulate.inject_errors(truth, sub_rate=3e-3, seed=93)
     bf = simulate.truth_bf(truth[:18000], 25)  # tail unfixable
     assert_equivalent(draft, bf)
     assert_equivalent(draft, bf, mask=True)
+
+
+def test_site_rows_sparse_and_clustered(monkeypatch):
+    """Rows path (opt-in) across the standard corpus shapes: sparse and
+    clustered substitutions, exceptions — byte-identical to the oracle."""
+    monkeypatch.setenv("NTEDIT_TPU_SITE_ROWS", "1")
+    wl = simulate.make_workload(length=12000, k=25, seed=22)
+    res = assert_equivalent(wl.draft, wl.bf)
+    assert res.edited == wl.truth.tobytes()
+    truth = simulate.random_genome(6000, seed=23)
+    draft, _ = simulate.inject_errors(truth, sub_rate=5e-3, min_gap=8, seed=24)
+    bf = simulate.truth_bf(truth, 25)
+    assert_equivalent(draft, bf)
+    draft2 = truth.copy()
+    draft2[1000:1020] = ord("N")
+    draft2[2000] = ord("R")
+    draft2[2500] = ord("A") if truth[2500] != ord("A") else ord("C")
+    assert_equivalent(draft2, bf)

@@ -28,6 +28,29 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.fixture(autouse=True)
+def _rows_on(monkeypatch):
+    # the row-consuming path is opt-in in production (on the tunneled
+    # single chip the sparse row pass costs more than it saves); these
+    # tests exist to keep it bit-identical for the configurations where
+    # it wins (multi-chip meshes, non-tunneled deployments)
+    monkeypatch.setenv("NTEDIT_TPU_SITE_ROWS", "1")
+
+
+def test_snv_default_cand_path_equals_oracle():
+    """The DEFAULT SNV fast path (candidate hint, no rows) == oracle."""
+    import os
+
+    os.environ.pop("NTEDIT_TPU_SITE_ROWS", None)
+    truth = simulate.random_genome(30000, seed=31)
+    sites = np.random.default_rng(32).integers(100, len(truth) - 100, size=10)
+    bf = _snv_filter(truth, sites, seed=33)
+    cfg = EngineConfig(k=K, hash_num=H, snv=True)
+    pol = Polisher(bf, None, cfg)
+    want = _assert_equal(pol, cfg, bf, truth)
+    assert len(want.subs) >= 3
+
+
 def _snv_filter(truth, variants_at, seed=0, nbytes=1 << 17):
     """Filter holding the reference k-mers plus variant-allele k-mers."""
     rng = np.random.default_rng(seed)
