@@ -95,7 +95,7 @@ def _flag_prep_pallas(seq_padded, chunk: int, k: int, wbits: int,
         kern,
         interpret=interpret,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # stays in HBM
         out_shape=(
             jax.ShapeDtypeStruct((n_chunks * chunk,), jnp.int32),
             jax.ShapeDtypeStruct((n_chunks * chunk,), jnp.uint32),
